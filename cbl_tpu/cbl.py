@@ -1,0 +1,416 @@
+"""CBL — the public TPU-native k-mer set API.
+
+Parity target: `/root/reference/src/cbl.rs` (struct `CBL<K, T, PREFIX_BITS>`,
+`:41-54`).  Semantics preserved exactly:
+
+- k-mer -> (canonical form if canonical mode) -> necklace + rotation pos ->
+  packed word -> set membership (`src/cbl.rs:199-206`).
+- sequences: every k-mer of the ACGT-filtered sequence (invalid bytes are
+  skipped as in `src/kmer.rs:131-135`); k-mers never span record boundaries.
+- canonical mode: K odd, canonical = even popcount (`src/kmer.rs:93-97`).
+
+Pipeline design (TPU-first, replaces `src/cbl.rs:239-289`): the base stream
+is packed 16 bases/uint32, chunked into fixed-size windows with K-1 overlap
+(the reference's own halo pattern, CHUNK_SIZE=2048 at `src/cbl.rs:67`; ours is
+larger to fill the VPU), and each chunk runs one jitted program:
+extract -> canonicalize -> necklace -> pack -> (query | queue for merge).
+
+Divergences (documented, CLI-observable behavior preserved):
+- `contains_seq` returns results in *sequence order* in canonical mode; the
+  reference emits forward-canonical results before reverse-complement ones
+  within each 2048-chunk (`src/cbl.rs:249-274`) — its own CLI only counts
+  positives (`examples/cbl.rs:214-223`), which is order-insensitive.
+- iteration is in ascending packed-word order (prefix-major, sorted
+  suffixes); reference vec-buckets iterate in insertion order
+  (`src/wordset/mod.rs:349-361`) and its tests sort before comparing
+  (`src/cbl.rs:763-773`).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kmer as kmod
+from . import limbs, necklace
+from .config import CBLConfig, get_config
+from .wordset import DeviceWordSet
+
+DEFAULT_CHUNK = 1 << 16  # k-mers per device program
+_U32_MAX = np.uint32(0xFFFFFFFF)
+
+
+def _stream_len(chunk: int, k: int) -> int:
+    """Padded base-stream length per chunk (multiple of 16)."""
+    raw = chunk + k - 1
+    return (raw + 15) // 16 * 16
+
+
+@lru_cache(maxsize=None)
+def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int):
+    """codes [S] uint8, valid [chunk] bool -> words [chunk, L] (invalid rows
+    = sentinel).  One fused XLA program per (config, mode, chunk)."""
+
+    def run(codes, valid):
+        stream = kmod.pack_stream(codes)
+        kmers = kmod.extract_kmers(stream, chunk, cfg)
+        if canonical:
+            kmers, _ = kmod.canonicalize(kmers, cfg)
+        best, pos = necklace.necklace_pos(kmers, cfg)
+        words = necklace.pack_word(best, pos, cfg)
+        return jnp.where(valid[:, None], words, _U32_MAX)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _kmer_word_fn(cfg: CBLConfig, canonical: bool):
+    """[N, L] k-mer limbs -> [N, L] packed words (point-op path,
+    `src/cbl.rs:199-206`)."""
+
+    def run(kmers):
+        if canonical:
+            kmers, _ = kmod.canonicalize(kmers, cfg)
+        best, pos = necklace.necklace_pos(kmers, cfg)
+        return necklace.pack_word(best, pos, cfg)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _decode_fn(cfg: CBLConfig):
+    """[N, L] packed words -> ([N, L] k-mer limbs, [N, K] base codes)."""
+
+    def run(words):
+        km = necklace.word_to_kmer(words, cfg)
+        return km, kmod.unpack_bases(km, cfg)
+
+    return jax.jit(run)
+
+
+class CBL:
+    """A fully dynamic, exact set of k-mers (TPU-native CBL).
+
+    Parameters mirror the reference's const generics: `k` (odd, <= 59) and
+    `prefix_bits` (`/root/reference/src/cbl.rs:34-46`).
+    """
+
+    def __init__(
+        self,
+        k: int = 25,
+        prefix_bits: int = 24,
+        canonical: bool = False,
+        chunk_size: int = DEFAULT_CHUNK,
+        pending_cap: int | None = None,
+    ):
+        self.cfg = get_config(k=k, prefix_bits=prefix_bits)
+        self.canonical = canonical
+        self.chunk = chunk_size
+        kwargs = {} if pending_cap is None else {"pending_cap": pending_cap}
+        self.wordset = DeviceWordSet(self.cfg, **kwargs)
+
+    # --- constructors (`src/cbl.rs:71-79`) ---
+
+    @classmethod
+    def new(cls, k: int = 25, prefix_bits: int = 24, **kw) -> "CBL":
+        return cls(k=k, prefix_bits=prefix_bits, canonical=False, **kw)
+
+    @classmethod
+    def new_canonical(cls, k: int = 25, prefix_bits: int = 24, **kw) -> "CBL":
+        return cls(k=k, prefix_bits=prefix_bits, canonical=True, **kw)
+
+    def _like(self) -> "CBL":
+        return CBL(
+            k=self.cfg.k,
+            prefix_bits=self.cfg.prefix_bits,
+            canonical=self.canonical,
+            chunk_size=self.chunk,
+        )
+
+    # --- basic queries (`src/cbl.rs:164-177`) ---
+
+    def is_canonical(self) -> bool:
+        return self.canonical
+
+    def count(self) -> int:
+        return self.wordset.count()
+
+    def is_empty(self) -> bool:
+        return self.wordset.is_empty()
+
+    def __len__(self) -> int:
+        return self.count()
+
+    # --- sequence pipeline ---
+
+    def _codes_of(self, seq) -> np.ndarray:
+        if isinstance(seq, np.ndarray) and seq.dtype == np.uint8:
+            return seq
+        return kmod.encode_seq(seq)
+
+    def _stream_chunks(self, codes: np.ndarray, valid: np.ndarray):
+        """Yield (codes_chunk [S], valid_chunk [chunk], n_kmers) windows."""
+        k = self.cfg.k
+        chunk = self.chunk
+        S = _stream_len(chunk, k)
+        total = len(valid)
+        for start in range(0, max(total, 1), chunk):
+            n = min(chunk, total - start)
+            if n <= 0:
+                break
+            cbuf = np.zeros(S, dtype=np.uint8)
+            cseg = codes[start : start + chunk + k - 1]
+            cbuf[: len(cseg)] = cseg
+            vbuf = np.zeros(chunk, dtype=bool)
+            vbuf[:n] = valid[start : start + n]
+            yield cbuf, vbuf, n
+
+    def _seqs_words(self, seqs):
+        """Concatenate sequences into one base stream; yield per-chunk word
+        arrays.  K-mers never span sequence boundaries."""
+        k = self.cfg.k
+        parts = []
+        for s in seqs:
+            c = self._codes_of(s)
+            if len(c) >= k:
+                parts.append(c)
+        if not parts:
+            return
+        codes = np.concatenate(parts)
+        valid = np.zeros(max(len(codes) - k + 1, 0), dtype=bool)
+        off = 0
+        for c in parts:
+            valid[off : off + len(c) - k + 1] = True
+            off += len(c)
+        fn = _pipeline_fn(self.cfg, self.canonical, self.chunk)
+        for cbuf, vbuf, n in self._stream_chunks(codes, valid):
+            yield fn(cbuf, vbuf), vbuf, n
+
+    def _check_len(self, seq) -> None:
+        # `src/cbl.rs:293-298`: assert seq.len() >= K
+        if len(seq) < self.cfg.k:
+            raise ValueError(
+                f"Sequence size ({len(seq)}) is smaller than K ({self.cfg.k})"
+            )
+
+    # --- sequence ops (`src/cbl.rs:293-354`) ---
+
+    def insert_seq(self, seq) -> None:
+        self._check_len(seq)
+        self.insert_seqs([seq])
+
+    def insert_seqs(self, seqs) -> None:
+        for words, _, _ in self._seqs_words(seqs):
+            self.wordset.insert_words(words)
+
+    def remove_seq(self, seq) -> None:
+        self._check_len(seq)
+        self.remove_seqs([seq])
+
+    def remove_seqs(self, seqs) -> None:
+        batches = [w for w, _, _ in self._seqs_words(seqs)]
+        if batches:
+            self.wordset.remove_words(jnp.concatenate(batches, axis=0))
+
+    def contains_seq(self, seq) -> np.ndarray:
+        """Per-k-mer membership, in sequence order (see module docstring)."""
+        self._check_len(seq)
+        out = []
+        for words, vbuf, n in self._seqs_words([seq]):
+            mask = np.asarray(self.wordset.contains_words(words))
+            out.append(mask[:n])
+        if not out:
+            return np.zeros(0, dtype=bool)
+        return np.concatenate(out)
+
+    def contains_seqs(self, seqs) -> list[np.ndarray]:
+        res = []
+        for s in seqs:
+            self._check_len(s)
+            res.append(self.contains_seq(s))
+        return res
+
+    def contains_all(self, seq) -> bool:
+        return bool(np.all(self.contains_seq(seq)))
+
+    # --- point ops (`src/cbl.rs:219-235`); k-mers given as packed ints ---
+
+    def _word_rows_of_kmers(self, kmers_int) -> jax.Array:
+        rows = limbs.from_py_ints([int(v) for v in kmers_int], self.cfg.kmer_limbs)
+        return _kmer_word_fn(self.cfg, self.canonical)(jnp.asarray(rows))
+
+    def contains(self, kmer_int: int) -> bool:
+        return bool(np.asarray(self.contains_kmers([kmer_int]))[0])
+
+    def insert(self, kmer_int: int) -> bool:
+        """Returns True if the k-mer was absent (reference contract)."""
+        words = self._word_rows_of_kmers([kmer_int])
+        absent = not bool(np.asarray(self.wordset.contains_words(words))[0])
+        self.wordset.insert_words(words)
+        return absent
+
+    def remove(self, kmer_int: int) -> bool:
+        """Returns True if the k-mer was present (reference contract)."""
+        words = self._word_rows_of_kmers([kmer_int])
+        present = bool(np.asarray(self.wordset.contains_words(words))[0])
+        self.wordset.remove_words(words)
+        return present
+
+    def contains_kmers(self, kmers_int) -> np.ndarray:
+        words = self._word_rows_of_kmers(kmers_int)
+        return np.asarray(self.wordset.contains_words(words))
+
+    def insert_kmers(self, kmers_int) -> None:
+        self.wordset.insert_words(self._word_rows_of_kmers(kmers_int))
+
+    def remove_kmers(self, kmers_int) -> None:
+        self.wordset.remove_words(self._word_rows_of_kmers(kmers_int))
+
+    # --- iteration (`src/cbl.rs:358-360`) ---
+
+    def kmers_limbs(self) -> np.ndarray:
+        """[n, L] k-mer limb rows, ascending packed-word order."""
+        words = self.wordset.words_array()
+        if words.shape[0] == 0:
+            return words
+        out = []
+        fn = _decode_fn(self.cfg)
+        for start in range(0, words.shape[0], self.chunk):
+            km, _ = fn(jnp.asarray(words[start : start + self.chunk]))
+            out.append(np.asarray(km))
+        return np.concatenate(out)
+
+    def __iter__(self):
+        for row in self.kmers_limbs():
+            yield limbs.to_py_ints(row[None, :])[0]
+
+    def iter_nucs(self):
+        """Yield k-mers as ASCII bytes (CLI `list`)."""
+        words = self.wordset.words_array()
+        fn = _decode_fn(self.cfg)
+        for start in range(0, words.shape[0], self.chunk):
+            _, codes = fn(jnp.asarray(words[start : start + self.chunk]))
+            codes = np.asarray(codes)
+            lut = kmod.BASE_LOOKUP
+            for row in codes:
+                yield lut[row].tobytes()
+
+    # --- set algebra (`src/cbl.rs:411-569`) ---
+
+    def _check_mode(self, other: "CBL") -> None:
+        if self.canonical != other.canonical:
+            raise ValueError("One of the index is canonical while the other isn't")
+        if self.cfg != other.cfg:
+            raise ValueError("Mismatched CBL configurations")
+
+    def __or__(self, other: "CBL") -> "CBL":
+        self._check_mode(other)
+        out = self._like()
+        out.wordset = self.wordset.union(other.wordset)
+        return out
+
+    def __ior__(self, other: "CBL") -> "CBL":
+        self._check_mode(other)
+        self.wordset = self.wordset.union(other.wordset)
+        return self
+
+    def __and__(self, other: "CBL") -> "CBL":
+        self._check_mode(other)
+        out = self._like()
+        out.wordset = self.wordset.intersection(other.wordset)
+        return out
+
+    def __iand__(self, other: "CBL") -> "CBL":
+        self._check_mode(other)
+        self.wordset = self.wordset.intersection(other.wordset)
+        return self
+
+    def __sub__(self, other: "CBL") -> "CBL":
+        self._check_mode(other)
+        out = self._like()
+        out.wordset = self.wordset.difference(other.wordset)
+        return out
+
+    def __isub__(self, other: "CBL") -> "CBL":
+        self._check_mode(other)
+        self.wordset = self.wordset.difference(other.wordset)
+        return self
+
+    def __xor__(self, other: "CBL") -> "CBL":
+        self._check_mode(other)
+        out = self._like()
+        out.wordset = self.wordset.symmetric_difference(other.wordset)
+        return out
+
+    def __ixor__(self, other: "CBL") -> "CBL":
+        self._check_mode(other)
+        self.wordset = self.wordset.symmetric_difference(other.wordset)
+        return self
+
+    @classmethod
+    def merge(cls, cbls: list["CBL"]) -> "CBL":
+        """k-way union (`src/cbl.rs:106-114`)."""
+        assert cbls
+        for c in cbls[1:]:
+            cbls[0]._check_mode(c)
+        out = cbls[0]._like()
+        out.wordset = DeviceWordSet.merge_many([c.wordset for c in cbls])
+        return out
+
+    @classmethod
+    def intersect(cls, cbls: list["CBL"]) -> "CBL":
+        """k-way intersection (`src/cbl.rs:116-124`)."""
+        assert cbls
+        for c in cbls[1:]:
+            cbls[0]._check_mode(c)
+        out = cbls[0]._like()
+        out.wordset = DeviceWordSet.intersect_many([c.wordset for c in cbls])
+        return out
+
+    # --- persistence (`src/cbl.rs:127-160`) ---
+
+    def save_to_file(self, path) -> None:
+        from . import serialize
+
+        serialize.save(self, path)
+
+    @classmethod
+    def load_from_file(cls, path) -> "CBL":
+        from . import serialize
+
+        return serialize.load(path)
+
+    # --- repartition stats (`src/cbl.rs:364-396`) ---
+
+    def prefix_load(self) -> float:
+        from . import stats
+
+        return stats.prefix_load(self)
+
+    def buckets_sizes(self):
+        from . import stats
+
+        return stats.buckets_sizes(self)
+
+    def buckets_size_count(self):
+        from . import stats
+
+        return stats.buckets_size_count(self)
+
+    def buckets_load_repartition(self):
+        from . import stats
+
+        return stats.buckets_load_repartition(self)
+
+    def buckets_nodes(self):
+        from . import stats
+
+        return stats.buckets_nodes(self)
+
+    def buckets_node_count(self):
+        from . import stats
+
+        return stats.buckets_node_count(self)

@@ -1,0 +1,177 @@
+"""2-bit k-mer encoding and batched sliding-window extraction.
+
+Reference semantics (`/root/reference/src/kmer.rs`):
+- base encoding A=0b00, C=0b01, T=0b10, G=0b11 (`src/kmer.rs:11`); this
+  non-standard order makes complement = XOR 0b10 (`src/kmer.rs:217-220`).
+- lowercase accepted, every other byte is *skipped* (filter_map,
+  `src/kmer.rs:131-135`), i.e. removed from the sequence before k-mers
+  are formed.
+- reverse complement = reverse base order + complement each base
+  (`src/kmer.rs:293-348`).
+- a k-mer is canonical iff its packed integer has even popcount
+  (`src/kmer.rs:93-97`); valid because K is odd.
+
+TPU-first design: instead of the reference's per-base streaming loop
+(`src/kmer.rs:163-193`), we pack a whole base stream into uint32 words
+(16 bases/word, big-endian) and gather every k-mer's limbs with vectorized
+shifts — thousands of k-mers per XLA op.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs
+from .config import CBLConfig
+
+BASES_PER_WORD = 16
+
+# ASCII -> 2-bit code; 255 = invalid (skipped).
+NUC_LOOKUP = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate(b"ACTG"):
+    NUC_LOOKUP[_c] = _i
+    NUC_LOOKUP[_c + 32] = _i  # lowercase
+BASE_LOOKUP = np.frombuffer(b"ACTG", dtype=np.uint8)
+
+
+def encode_seq(seq) -> np.ndarray:
+    """ASCII sequence -> [M] uint8 base codes with invalid bytes removed.
+
+    Matches the reference's filter_map semantics (`src/kmer.rs:131-135`)."""
+    if isinstance(seq, str):
+        seq = seq.encode()
+    raw = np.frombuffer(bytes(seq), dtype=np.uint8)
+    codes = NUC_LOOKUP[raw]
+    return codes[codes != 255]
+
+
+def decode_codes(codes: np.ndarray) -> bytes:
+    """[..., K] uint8 base codes -> ASCII."""
+    return BASE_LOOKUP[np.asarray(codes)].tobytes()
+
+
+def pack_stream(codes):
+    """[S] uint8 base codes (S % 16 == 0) -> [S/16] uint32, base s at bits
+    [30 - 2*(s%16), 32 - 2*(s%16)) of word s//16 (big-endian bases)."""
+    S = codes.shape[0]
+    assert S % BASES_PER_WORD == 0
+    c = codes.astype(jnp.uint32).reshape(S // BASES_PER_WORD, BASES_PER_WORD)
+    shifts = jnp.arange(30, -1, -2, dtype=jnp.uint32)
+    return jnp.sum(c << shifts, axis=1, dtype=jnp.uint32)
+
+
+def extract_kmers(stream, n_kmers: int, cfg: CBLConfig):
+    """Gather all k-mers of a packed base stream.
+
+    stream: [S/16] uint32 from `pack_stream` (the first k-mer starts at base
+    0).  Returns [n_kmers, L] uint32 limbs, right-aligned 2K-bit values.
+
+    Replaces the reference's sliding `append` loop
+    (`/root/reference/src/kmer.rs:163-193`) with a batched bit-gather.
+    """
+    W = cfg.kmer_bits
+    L = cfg.kmer_limbs
+    # Prepend L zero words so every 32-bit window index is in range.
+    pad = jnp.zeros((L,), dtype=jnp.uint32)
+    S = jnp.concatenate([pad, stream, jnp.zeros((1,), dtype=jnp.uint32)])
+    i = jnp.arange(n_kmers, dtype=jnp.int32)
+    cols = []
+    for l in range(L):
+        # limb l holds value bits [32*(L-1-l), 32*(L-l)); its 32 source bits
+        # end (exclusive) at stream bit 2i + W - 32*(L-1-l), shifted by the
+        # 32*L pad bits.
+        start = 2 * i + (32 * L + W - 32 * (L - l))
+        w = start >> 5
+        off = (start & 31).astype(jnp.uint32)
+        s0 = S[w]
+        s1 = S[w + 1]
+        col = jnp.where(off == 0, s0, (s0 << off) | ((s1 >> 1) >> (31 - off)))
+        cols.append(col)
+    kmers = jnp.stack(cols, axis=-1)
+    return limbs.mask_width(kmers, W)
+
+
+def _bit_reverse_bases_limb(x):
+    """Reverse the 16 bases (2-bit groups) inside each uint32 limb."""
+    x = (
+        (x >> 24)
+        | ((x >> 8) & jnp.uint32(0x0000FF00))
+        | ((x << 8) & jnp.uint32(0x00FF0000))
+        | (x << 24)
+    )
+    x = ((x >> 4) & jnp.uint32(0x0F0F0F0F)) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x >> 2) & jnp.uint32(0x33333333)) | ((x & jnp.uint32(0x33333333)) << 2)
+    return x
+
+
+def revcomp(kmers, cfg: CBLConfig):
+    """Batched reverse complement of [N, L] k-mer limbs.
+
+    Same bit-trick structure as `/root/reference/src/kmer.rs:326-335`,
+    lifted to limb vectors: reverse bases of the full 32L-bit register
+    (per-limb 2-bit-group reversal + limb-order reversal), realign, then
+    complement by XOR 0b10 per base.
+    """
+    W = cfg.kmer_bits
+    L = kmers.shape[-1]
+    rev = _bit_reverse_bases_limb(kmers)[..., ::-1]
+    rev = limbs.shift_right(rev, 32 * L - W)
+    comp_mask = jnp.asarray(
+        limbs.width_mask(W, L) & np.uint32(0xAAAAAAAA)
+    )
+    return rev ^ comp_mask
+
+
+def is_canonical(kmers):
+    """True where popcount is even; `/root/reference/src/kmer.rs:93-97`."""
+    return limbs.popcount_parity(kmers) == 0
+
+
+def canonicalize(kmers, cfg: CBLConfig):
+    """Per-row canonical form; `/root/reference/src/kmer.rs:99-106`."""
+    canon = is_canonical(kmers)
+    rc = revcomp(kmers, cfg)
+    return jnp.where(canon[..., None], kmers, rc), canon
+
+
+def unpack_bases(kmers, cfg: CBLConfig):
+    """[N, L] k-mer limbs -> [N, K] uint8 base codes (first base first)."""
+    W = cfg.kmer_bits
+    L = kmers.shape[-1]
+    cols = []
+    for j in range(cfg.k):
+        lo = W - 2 - 2 * j  # LSB index of base j; always even
+        limb = L - 1 - lo // 32
+        off = lo % 32
+        cols.append(((kmers[..., limb] >> off) & jnp.uint32(3)).astype(jnp.uint8))
+    return jnp.stack(cols, axis=-1)
+
+
+# --- host-side oracle helpers (tests / tiny inputs) ---
+
+
+def kmer_to_int(codes) -> int:
+    v = 0
+    for c in codes:
+        v = (v << 2) | int(c)
+    return v
+
+
+def int_to_codes(v: int, k: int) -> np.ndarray:
+    return np.array([(v >> (2 * (k - 1 - j))) & 3 for j in range(k)], dtype=np.uint8)
+
+
+def py_revcomp(v: int, k: int) -> int:
+    out = 0
+    for _ in range(k):
+        out = (out << 2) | ((v & 3) ^ 0b10)
+        v >>= 2
+    return out
+
+
+def py_is_canonical(v: int) -> bool:
+    return bin(v).count("1") % 2 == 0

@@ -1,0 +1,327 @@
+"""DeviceWordSet — the TPU-native dynamic word-set store.
+
+The reference keeps words in a prefix-rank bitvector + tiered vector +
+adaptive vec/trie suffix containers (`/root/reference/src/wordset/mod.rs:18-26`,
+`cxx/rank_bv.h`, `cxx/tiered_vec.h`, `src/trievec/mod.rs`).  Those are
+CPU-latency pointer machines.  On TPU we re-express the same *set semantics*
+as one dense, globally **sorted flat array of multi-limb words** resident in
+HBM:
+
+- membership      = vectorized binary search        (was: rank + bucket scan)
+- insert batch    = concat + sort + dedup + compact (was: per-bucket inserts)
+- remove batch    = search + mask + compact         (was: per-bucket removes)
+- set algebra     = sorted-merge scans              (was: per-bucket 2-pointer
+                                                     merges, `set_ops.rs`)
+- iteration order = ascending word order, i.e. prefix-major with sorted
+                    suffixes (the reference's trie-bucket order,
+                    `src/wordset/mod.rs:349-361`)
+
+A capacity-padded layout keeps XLA shapes static: the array has power-of-two
+capacity and unused rows hold the sentinel 0xFFFF..FF, which sorts after every
+valid word.  (A packed word can never be all-ones: its `pos` field is < 2K
+while an all-ones pos field would require pos = 2^POS_BITS-1 >= 2K; only K=1
+makes 2K a power of two and there N_BITS=3 < 32.)
+
+Inserts are amortised through a fixed-size **pending buffer**: word batches
+are appended with `dynamic_update_slice` (cheap) and folded into the sorted
+array in one large merge when the buffer fills or a query forces a flush.
+This mirrors the amortisation role of the reference's 2048-k-mer chunking
+(`/root/reference/src/cbl.rs:67,239-243`) at HBM-friendly batch sizes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs
+from .config import CBLConfig
+
+MIN_CAP = 4096
+DEFAULT_PENDING_CAP = 1 << 20
+_U32_MAX = np.uint32(0xFFFFFFFF)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length() if n > 1 else 1
+
+
+def sort_rows(x):
+    """Sort [N, L] rows ascending (lexicographic over limbs = numeric)."""
+    L = x.shape[-1]
+    cols = tuple(x[:, l] for l in range(L))
+    out = jax.lax.sort(cols, num_keys=L)
+    if L == 1:
+        out = (out,) if not isinstance(out, tuple) else out
+    return jnp.stack(out, axis=-1)
+
+
+def _valid_mask(rows):
+    """True for non-sentinel rows."""
+    return ~jnp.all(rows == _U32_MAX, axis=-1)
+
+
+def _compact(rows, keep, out_cap: int):
+    """Scatter `rows[keep]` to the front of a sentinel-filled [out_cap, L]
+    array, preserving order.  Returns (out, count)."""
+    L = rows.shape[-1]
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.where(keep, pos, out_cap)
+    out = jnp.full((out_cap, L), _U32_MAX, dtype=jnp.uint32)
+    out = out.at[idx].set(rows, mode="drop")
+    return out, jnp.sum(keep.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+def _merge_kernel(a, b, out_cap: int):
+    """Sorted-set union of row arrays a and b (rows may repeat / be sentinel).
+    Returns ([out_cap, L] sorted sentinel-padded, count)."""
+    cat = jnp.concatenate([a, b], axis=0)
+    s = sort_rows(cat)
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+    )
+    keep = _valid_mask(s) & ~prev_eq
+    return _compact(s, keep, out_cap)
+
+
+@jax.jit
+def _searchsorted_kernel(data, queries):
+    """Lower-bound index of each query row in sorted `data`.
+
+    Vectorized binary search with limb-lexicographic compare; replaces the
+    reference's Fenwick rank + bucket scan (`src/wordset/mod.rs:87-95`)."""
+    C = data.shape[0]
+    n_iter = max(C.bit_length(), 1)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        rows = data[mid]
+        less = limbs.lt(rows, queries)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+        return lo, hi
+
+    n = queries.shape[0]
+    lo = jnp.zeros((n,), dtype=jnp.int32)
+    hi = jnp.full((n,), C, dtype=jnp.int32)
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return lo
+
+
+@jax.jit
+def _contains_kernel(data, queries):
+    idx = _searchsorted_kernel(data, queries)
+    C = data.shape[0]
+    rows = data[jnp.clip(idx, 0, C - 1)]
+    return (idx < C) & limbs.eq(rows, queries) & _valid_mask(queries)
+
+
+@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+def _remove_kernel(data, batch, out_cap: int):
+    """Remove every row of `batch` from sorted `data`; compact."""
+    idx = _searchsorted_kernel(data, batch)
+    C = data.shape[0]
+    rows = data[jnp.clip(idx, 0, C - 1)]
+    hit = (idx < C) & limbs.eq(rows, batch) & _valid_mask(batch)
+    removed = jnp.zeros((C,), dtype=bool)
+    removed = removed.at[jnp.where(hit, idx, C)].set(True, mode="drop")
+    keep = _valid_mask(data) & ~removed
+    return _compact(data, keep, out_cap)
+
+
+@partial(jax.jit, static_argnames=("out_cap", "negate"))
+def _filter_by_membership_kernel(a, b, out_cap: int, negate: bool):
+    """Intersection (negate=False) or difference (negate=True): keep rows of
+    `a` (not) found in sorted `b`.  `src/wordset/set_ops.rs` semantics."""
+    hit = _contains_kernel(b, a)
+    keep = _valid_mask(a) & (~hit if negate else hit)
+    return _compact(a, keep, out_cap)
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def _symdiff_kernel(a, b, out_cap: int):
+    """Rows present in exactly one of two sorted duplicate-free arrays."""
+    cat = jnp.concatenate([a, b], axis=0)
+    s = sort_rows(cat)
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+    )
+    next_eq = jnp.concatenate(
+        [limbs.eq(s[:-1], s[1:]), jnp.zeros((1,), dtype=bool)]
+    )
+    keep = _valid_mask(s) & ~prev_eq & ~next_eq
+    return _compact(s, keep, out_cap)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _append_kernel(pending, words, offset):
+    return jax.lax.dynamic_update_slice(pending, words, (offset, jnp.int32(0)))
+
+
+class DeviceWordSet:
+    """A dynamic set of N_BITS-wide words as a sorted device array.
+
+    API parity with `/root/reference/src/wordset/mod.rs`: count/is_empty/
+    contains/insert/remove (batch-first; point ops are batches of 1),
+    set algebra, iteration in ascending word order, prefix stats.
+    """
+
+    def __init__(self, cfg: CBLConfig, pending_cap: int = DEFAULT_PENDING_CAP):
+        self.cfg = cfg
+        self.L = cfg.word_limbs
+        self.capacity = MIN_CAP
+        self.n = 0
+        self.data = jnp.full((self.capacity, self.L), _U32_MAX, dtype=jnp.uint32)
+        self.pending_cap = pending_cap
+        self.n_pending = 0
+        self.pending = jnp.full((pending_cap, self.L), _U32_MAX, dtype=jnp.uint32)
+
+    # --- insert path ---
+
+    def insert_words(self, words) -> None:
+        """Queue [N, L] word rows (sentinel rows are ignored at flush)."""
+        n = words.shape[0]
+        if n > self.pending_cap:
+            self.flush()
+            self._merge_into(words, n_new_upper=n)
+            return
+        if self.n_pending + n > self.pending_cap:
+            self.flush()
+        self.pending = _append_kernel(self.pending, words, jnp.int32(self.n_pending))
+        self.n_pending += n
+
+    def flush(self) -> None:
+        """Fold the pending buffer into the sorted array.
+
+        Only the next-power-of-two prefix of the buffer is merged, so a
+        lightly-filled buffer costs a small sort (shape variants stay
+        log-bounded for the jit cache)."""
+        if self.n_pending == 0:
+            return
+        n_pend = self.n_pending
+        rows = self.pending[: min(_next_pow2(n_pend), self.pending_cap)]
+        self.pending = jnp.full(
+            (self.pending_cap, self.L), _U32_MAX, dtype=jnp.uint32
+        )
+        self.n_pending = 0
+        self._merge_into(rows, n_new_upper=n_pend)
+
+    def _merge_into(self, rows, n_new_upper: int) -> None:
+        out_cap = max(self.capacity, _next_pow2(self.n + n_new_upper), MIN_CAP)
+        self.data, n_dev = _merge_kernel(self.data, rows, out_cap)
+        self.capacity = out_cap
+        self.n = int(n_dev)
+
+    # --- queries / removal ---
+
+    def contains_words(self, words):
+        """[N] bool device array; sentinel query rows -> False."""
+        self.flush()
+        return _contains_kernel(self.data, words)
+
+    def remove_words(self, words) -> None:
+        self.flush()
+        self.data, n_dev = _remove_kernel(self.data, words, self.capacity)
+        self.n = int(n_dev)
+
+    def count(self) -> int:
+        self.flush()
+        return self.n
+
+    def is_empty(self) -> bool:
+        return self.count() == 0
+
+    # --- set algebra (`/root/reference/src/wordset/set_ops.rs`) ---
+
+    def _binary_out_cap(self, other: "DeviceWordSet", upper: int) -> int:
+        return max(MIN_CAP, _next_pow2(upper))
+
+    def union(self, other: "DeviceWordSet") -> "DeviceWordSet":
+        self.flush()
+        other.flush()
+        out = DeviceWordSet(self.cfg, self.pending_cap)
+        cap = self._binary_out_cap(other, self.n + other.n)
+        # donate_argnums=0 would eat self.data; pass a copy-free concat order
+        data, n_dev = _merge_kernel(self.data + jnp.uint32(0), other.data, cap)
+        out.data, out.capacity, out.n = data, cap, int(n_dev)
+        return out
+
+    def intersection(self, other: "DeviceWordSet") -> "DeviceWordSet":
+        self.flush()
+        other.flush()
+        out = DeviceWordSet(self.cfg, self.pending_cap)
+        cap = self._binary_out_cap(other, min(self.n, other.n))
+        data, n_dev = _filter_by_membership_kernel(
+            self.data, other.data, cap, False
+        )
+        out.data, out.capacity, out.n = data, cap, int(n_dev)
+        return out
+
+    def difference(self, other: "DeviceWordSet") -> "DeviceWordSet":
+        self.flush()
+        other.flush()
+        out = DeviceWordSet(self.cfg, self.pending_cap)
+        cap = self._binary_out_cap(other, self.n)
+        data, n_dev = _filter_by_membership_kernel(
+            self.data, other.data, cap, True
+        )
+        out.data, out.capacity, out.n = data, cap, int(n_dev)
+        return out
+
+    def symmetric_difference(self, other: "DeviceWordSet") -> "DeviceWordSet":
+        self.flush()
+        other.flush()
+        out = DeviceWordSet(self.cfg, self.pending_cap)
+        cap = self._binary_out_cap(other, self.n + other.n)
+        data, n_dev = _symdiff_kernel(self.data, other.data, cap)
+        out.data, out.capacity, out.n = data, cap, int(n_dev)
+        return out
+
+    @staticmethod
+    def merge_many(sets: list["DeviceWordSet"]) -> "DeviceWordSet":
+        """k-way union; `/root/reference/src/wordset/set_ops.rs:11-42`."""
+        assert sets
+        out = sets[0].union(sets[1]) if len(sets) > 1 else sets[0].copy()
+        for s in sets[2:]:
+            out = out.union(s)
+        return out
+
+    @staticmethod
+    def intersect_many(sets: list["DeviceWordSet"]) -> "DeviceWordSet":
+        """k-way intersection; `/root/reference/src/wordset/set_ops.rs:44-76`."""
+        assert sets
+        out = (
+            sets[0].intersection(sets[1]) if len(sets) > 1 else sets[0].copy()
+        )
+        for s in sets[2:]:
+            out = out.intersection(s)
+        return out
+
+    def copy(self) -> "DeviceWordSet":
+        self.flush()
+        out = DeviceWordSet(self.cfg, self.pending_cap)
+        out.data = self.data + jnp.uint32(0)
+        out.capacity = self.capacity
+        out.n = self.n
+        return out
+
+    # --- iteration / export ---
+
+    def words_array(self) -> np.ndarray:
+        """[n, L] uint32 host array in ascending word order."""
+        self.flush()
+        return np.asarray(self.data[: self.n])
+
+    def prefixes(self) -> np.ndarray:
+        """Sorted [n] uint32 prefix of each stored word."""
+        from . import necklace
+
+        self.flush()
+        if self.n == 0:
+            return np.zeros((0,), dtype=np.uint32)
+        return np.asarray(necklace.word_prefix(self.data[: self.n], self.cfg))

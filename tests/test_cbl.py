@@ -1,0 +1,218 @@
+"""CBL API tests mirroring `/root/reference/src/cbl.rs:577-915`, scaled for
+the CPU test backend.  Oracle: a host python set of (canonical) k-mer ints —
+valid because word packing is a bijection on k-mers."""
+
+import numpy as np
+import pytest
+
+from cbl_tpu import CBL
+from cbl_tpu.kmer import (
+    decode_codes,
+    encode_seq,
+    kmer_to_int,
+    py_is_canonical,
+    py_revcomp,
+)
+
+N = 20_000
+
+
+def _random_nucs(n, seed):
+    rng = np.random.default_rng(seed)
+    return decode_codes(rng.integers(0, 4, size=n, dtype=np.uint8))
+
+
+def _kmers_of(seq, k):
+    codes = encode_seq(seq)
+    return [kmer_to_int(codes[i : i + k]) for i in range(len(codes) - k + 1)]
+
+
+def _canon(v, k):
+    return v if py_is_canonical(v) else py_revcomp(v, k)
+
+
+@pytest.mark.parametrize("k", [25, 59])
+def test_insert_contains_remove(k):
+    seq = _random_nucs(N, seed=k)
+    kmers = _kmers_of(seq, k)
+    s = CBL(k=k, chunk_size=4096)
+    s.insert_seq(seq)
+    assert s.count() == len(set(kmers))
+    assert np.all(s.contains_seq(seq))
+    s.remove_seq(seq)
+    assert not np.any(s.contains_seq(seq))
+    assert s.is_empty()
+
+
+def test_point_vs_batch_equivalence():
+    k = 25
+    seq = _random_nucs(2_000, seed=1)
+    kmers = _kmers_of(seq, k)
+    a = CBL(k=k)
+    b = CBL(k=k)
+    a.insert_seq(seq)
+    for v in kmers:
+        b.insert(v)
+    assert a.count() == b.count()
+    assert np.all(a.contains_kmers(kmers))
+    assert np.all(b.contains_kmers(kmers))
+    # insert returns absent-flag (`src/cbl.rs:223-228`)
+    fresh = CBL(k=k)
+    assert fresh.insert(kmers[0])
+    assert not fresh.insert(kmers[0])
+    assert fresh.remove(kmers[0])
+    assert not fresh.remove(kmers[0])
+
+
+def test_canonical_mode():
+    k = 25
+    seq = _random_nucs(N, seed=2)
+    kmers = _kmers_of(seq, k)
+    s = CBL.new_canonical(k=k)
+    s.insert_seq(seq)
+    for v in kmers[:100]:
+        assert s.contains(v)
+        assert s.contains(py_revcomp(v, k))
+    assert s.count() == len({_canon(v, k) for v in kmers})
+    s.remove_seq(seq)
+    assert s.is_empty()
+    for v in kmers[:50]:
+        assert not s.contains(v)
+        assert not s.contains(py_revcomp(v, k))
+
+
+def test_canonical_rc_sequence_query():
+    # querying the reverse-complement *sequence* hits the same canonical set
+    k = 25
+    seq = _random_nucs(3_000, seed=3)
+    codes = encode_seq(seq)
+    rc_codes = (codes[::-1] ^ 0b10).astype(np.uint8)
+    rc_seq = decode_codes(rc_codes)
+    s = CBL.new_canonical(k=k)
+    s.insert_seq(seq)
+    assert np.all(s.contains_seq(rc_seq))
+
+
+def test_iter_roundtrip():
+    # `/root/reference/src/cbl.rs:763-773`
+    k = 25
+    kmers = list(range(0, 7000, 7))
+    s = CBL(k=k)
+    s.insert_kmers(kmers)
+    got = sorted(s)
+    assert got == kmers
+
+
+def test_invalid_chars_skipped():
+    k = 11
+    s = CBL(k=k, prefix_bits=20)
+    s.insert_seq(b"ACGTNNNACGTACGTatt")  # N's removed, lowercase ok
+    t = CBL(k=k, prefix_bits=20)
+    t.insert_seq(b"ACGTACGTACGTATT")
+    assert s.count() == t.count()
+    assert sorted(s) == sorted(t)
+
+
+def test_seq_too_short_raises():
+    s = CBL(k=25)
+    with pytest.raises(ValueError):
+        s.insert_seq(b"ACGT")
+    with pytest.raises(ValueError):
+        s.contains_seq(b"ACGT")
+
+
+@pytest.mark.parametrize("op", ["or", "and", "sub", "xor"])
+def test_set_algebra(op):
+    # `/root/reference/src/cbl.rs:776-863`
+    k = 25
+    seq1 = _random_nucs(6_000, seed=4)
+    seq2 = _random_nucs(6_000, seed=5)
+    s1, s2 = set(_kmers_of(seq1, k)), set(_kmers_of(seq2, k))
+    a, b = CBL(k=k), CBL(k=k)
+    a.insert_seq(seq1)
+    b.insert_seq(seq2)
+    import operator
+
+    pyop = {"or": operator.or_, "and": operator.and_, "sub": operator.sub, "xor": operator.xor}[op]
+    res = pyop(a, b)
+    expect = pyop(s1, s2)
+    assert res.count() == len(expect)
+    sample = list(s1 | s2)[:300]
+    got = res.contains_kmers(sample)
+    for v, g in zip(sample, got):
+        assert bool(g) == (v in expect)
+    # in-place variant
+    iop = {"or": operator.ior, "and": operator.iand, "sub": operator.isub, "xor": operator.ixor}[op]
+    a = iop(a, b)
+    assert a.count() == len(expect)
+    # operand b unchanged
+    assert b.count() == len(s2)
+
+
+def test_mode_mismatch_raises():
+    a = CBL(k=25)
+    b = CBL.new_canonical(k=25)
+    with pytest.raises(ValueError):
+        _ = a | b
+
+
+def test_multi_merge_intersect():
+    # `/root/reference/src/cbl.rs:865-914` with K=7 small config
+    k, pb = 7, 13
+    C = 6
+    chunks = [_random_nucs(800 + k - 1, seed=10 + i) for i in range(C)]
+    sets = []
+    fams = []
+    for ch in chunks:
+        c = CBL(k=k, prefix_bits=pb)
+        c.insert_seq(ch)
+        sets.append(c)
+        fams.append(set(_kmers_of(ch, k)))
+    merged = CBL.merge(sets)
+    assert merged.count() == len(set().union(*fams))
+    for c in sets:
+        for v in list(c)[:50]:
+            assert merged.contains(v)
+    inter = CBL.intersect(sets)
+    assert inter.count() == len(set.intersection(*fams))
+
+
+def test_contains_seq_order_and_contains_all():
+    k = 25
+    seq = _random_nucs(2_000, seed=6)
+    kmers = _kmers_of(seq, k)
+    s = CBL(k=k)
+    s.insert_seq(seq)
+    other = _random_nucs(2_000, seed=7)
+    mask = s.contains_seq(other)
+    expect = [kmer_to_int(encode_seq(other)[i : i + k]) in set(kmers) for i in range(len(mask))]
+    assert mask.tolist() == expect
+    assert s.contains_all(seq)
+    assert not s.contains_all(other)
+
+
+def test_chunk_boundary_consistency():
+    # same set regardless of chunk size (reference CHUNK_SIZE invariance)
+    k = 25
+    seq = _random_nucs(5_000, seed=8)
+    a = CBL(k=k, chunk_size=256)
+    b = CBL(k=k, chunk_size=4096)
+    a.insert_seq(seq)
+    b.insert_seq(seq)
+    assert a.count() == b.count()
+    assert np.array_equal(a.wordset.words_array(), b.wordset.words_array())
+
+
+def test_multiple_records():
+    k = 25
+    r1 = _random_nucs(1_000, seed=9)
+    r2 = _random_nucs(1_000, seed=10)
+    s = CBL(k=k)
+    s.insert_seqs([r1, r2])
+    t = CBL(k=k)
+    t.insert_seq(r1)
+    t.insert_seq(r2)
+    assert s.count() == t.count()
+    # no k-mer spans the record boundary
+    joined = set(_kmers_of(r1, k)) | set(_kmers_of(r2, k))
+    assert s.count() == len(joined)

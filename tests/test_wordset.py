@@ -1,0 +1,135 @@
+"""DeviceWordSet vs a host python-set oracle, mirroring the reference's
+wordset tests (`/root/reference/src/wordset/mod.rs:439-533`,
+`src/wordset/set_ops.rs:412-836` which use a HashSet oracle)."""
+
+import numpy as np
+import pytest
+
+from cbl_tpu import limbs
+from cbl_tpu.config import get_config
+from cbl_tpu.wordset import DeviceWordSet
+
+CFG = get_config(k=25, prefix_bits=24)  # n_bits=56, L=2
+
+
+def _rows(values):
+    return limbs.from_py_ints(list(values), CFG.word_limbs)
+
+
+def _rand_words(rng, n):
+    return [int(x) for x in rng.integers(0, 1 << CFG.n_bits, size=n, dtype=np.uint64)]
+
+
+def test_insert_contains_remove_even_odd():
+    # even/odd family as in `src/wordset/mod.rs:451-475`
+    n = 20_000
+    evens = list(range(0, 2 * n, 2))
+    odds = list(range(1, 2 * n, 2))
+    ws = DeviceWordSet(CFG, pending_cap=1 << 14)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    ws.insert_words(_rows([evens[i] for i in perm]))
+    assert ws.count() == n
+    assert bool(np.all(np.asarray(ws.contains_words(_rows(evens)))))
+    assert not np.any(np.asarray(ws.contains_words(_rows(odds))))
+    ws.remove_words(_rows(evens))
+    assert ws.count() == 0
+    assert ws.is_empty()
+
+
+def test_duplicates_and_sentinel_rows():
+    ws = DeviceWordSet(CFG)
+    vals = [5, 5, 7, 7, 7, 9]
+    rows = _rows(vals)
+    sent = np.full((3, CFG.word_limbs), 0xFFFFFFFF, dtype=np.uint32)
+    ws.insert_words(np.concatenate([rows, sent]))
+    assert ws.count() == 3
+    got = limbs.to_py_ints(ws.words_array())
+    assert got == [5, 7, 9]
+
+
+def test_pending_buffer_flush_boundary():
+    ws = DeviceWordSet(CFG, pending_cap=256)
+    all_vals = set()
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        vals = _rand_words(rng, 100)
+        all_vals.update(vals)
+        ws.insert_words(_rows(vals))
+    assert ws.count() == len(all_vals)
+    assert limbs.to_py_ints(ws.words_array()) == sorted(all_vals)
+
+
+def test_oversized_batch():
+    ws = DeviceWordSet(CFG, pending_cap=64)
+    rng = np.random.default_rng(2)
+    vals = _rand_words(rng, 1000)
+    ws.insert_words(_rows(vals))
+    assert ws.count() == len(set(vals))
+
+
+def test_growth_across_capacities():
+    ws = DeviceWordSet(CFG, pending_cap=2048)
+    rng = np.random.default_rng(3)
+    ref = set()
+    for _ in range(8):
+        vals = _rand_words(rng, 2000)
+        ref.update(vals)
+        ws.insert_words(_rows(vals))
+        ws.flush()
+    assert ws.count() == len(ref)
+    assert limbs.to_py_ints(ws.words_array()) == sorted(ref)
+
+
+def test_remove_partial():
+    rng = np.random.default_rng(4)
+    vals = list(set(_rand_words(rng, 5000)))
+    ws = DeviceWordSet(CFG)
+    ws.insert_words(_rows(vals))
+    victims = vals[::3]
+    ws.remove_words(_rows(victims))
+    ref = sorted(set(vals) - set(victims))
+    assert limbs.to_py_ints(ws.words_array()) == ref
+    # removing absent words is a no-op
+    ws.remove_words(_rows(victims))
+    assert ws.count() == len(ref)
+
+
+@pytest.mark.parametrize("op", ["union", "intersection", "difference", "symmetric_difference"])
+def test_set_algebra_oracle(op):
+    rng = np.random.default_rng(5)
+    a_vals = set(int(x) for x in rng.integers(0, 4000, size=3000))
+    b_vals = set(int(x) for x in rng.integers(0, 4000, size=3000))
+    a = DeviceWordSet(CFG)
+    b = DeviceWordSet(CFG)
+    a.insert_words(_rows(sorted(a_vals)))
+    b.insert_words(_rows(sorted(b_vals)))
+    got = getattr(a, op)(b)
+    expect = sorted(getattr(a_vals, op)(b_vals))
+    assert limbs.to_py_ints(got.words_array()) == expect
+    # operands unchanged
+    assert a.count() == len(a_vals)
+    assert b.count() == len(b_vals)
+
+
+def test_kway_merge_associativity():
+    # `/root/reference/src/wordset/set_ops.rs:721-836`
+    rng = np.random.default_rng(6)
+    fams = [set(_rand_words(rng, 500)) for _ in range(5)]
+    sets = []
+    for fam in fams:
+        ws = DeviceWordSet(CFG)
+        ws.insert_words(_rows(sorted(fam)))
+        sets.append(ws)
+    merged = DeviceWordSet.merge_many(sets)
+    expect = sorted(set().union(*fams))
+    assert limbs.to_py_ints(merged.words_array()) == expect
+    inter = DeviceWordSet.intersect_many(sets)
+    expect_i = sorted(set.intersection(*fams))
+    assert limbs.to_py_ints(inter.words_array()) == expect_i
+
+
+def test_contains_on_empty():
+    ws = DeviceWordSet(CFG)
+    assert not np.any(np.asarray(ws.contains_words(_rows([1, 2, 3]))))
+    assert ws.count() == 0
