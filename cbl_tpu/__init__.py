@@ -11,6 +11,11 @@ import os as _os
 
 import jax as _jax
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; the only reliable
+# platform override is jax.config.  CBL_TPU_PLATFORM=cpu forces local CPU.
+if _os.environ.get("CBL_TPU_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["CBL_TPU_PLATFORM"])
+
 # XLA compiles a fresh (slow-to-compile) program per array shape; capacities
 # are power-of-two tiers so the set of shapes is small and stable — persist
 # them across processes.  Opt out with CBL_TPU_NO_CACHE=1.

@@ -168,6 +168,25 @@ class CBL:
             vbuf[:n] = valid[start : start + n]
             yield cbuf, vbuf, n
 
+    def _stream_valid(self, codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Valid-start mask for a concatenated record stream: a k-mer is
+        valid iff it lies entirely inside one record (the reference forms
+        k-mers per record; k-mers never span records)."""
+        k = self.cfg.k
+        nk = max(len(codes) - k + 1, 0)
+        valid = np.ones(nk, dtype=bool)
+        for b in offsets[1:-1]:
+            valid[max(b - k + 1, 0) : min(b, nk)] = False
+        # short trailing record
+        if len(offsets) >= 2 and offsets[-1] - offsets[-2] < k:
+            valid[max(offsets[-2] - k + 1, 0) : nk] = False
+        return valid
+
+    def _stream_words(self, codes: np.ndarray, valid: np.ndarray):
+        fn = _pipeline_fn(self.cfg, self.canonical, self.chunk)
+        for cbuf, vbuf, n in self._stream_chunks(codes, valid):
+            yield fn(cbuf, vbuf), vbuf, n
+
     def _seqs_words(self, seqs):
         """Concatenate sequences into one base stream; yield per-chunk word
         arrays.  K-mers never span sequence boundaries."""
@@ -180,14 +199,38 @@ class CBL:
         if not parts:
             return
         codes = np.concatenate(parts)
-        valid = np.zeros(max(len(codes) - k + 1, 0), dtype=bool)
-        off = 0
-        for c in parts:
-            valid[off : off + len(c) - k + 1] = True
-            off += len(c)
-        fn = _pipeline_fn(self.cfg, self.canonical, self.chunk)
-        for cbuf, vbuf, n in self._stream_chunks(codes, valid):
-            yield fn(cbuf, vbuf), vbuf, n
+        offsets = np.cumsum([0] + [len(c) for c in parts], dtype=np.int64)
+        yield from self._stream_words(codes, self._stream_valid(codes, offsets))
+
+    # --- streaming fast path (feeds straight from io.parse_fastx) ---
+
+    def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
+        """Insert every k-mer of a concatenated code stream with record
+        `offsets` ([n_records+1]).  This is the CLI/bench hot path."""
+        valid = self._stream_valid(codes, offsets)
+        if len(valid) == 0:
+            return
+        for words, _, _ in self._stream_words(codes, valid):
+            self.wordset.insert_words(words)
+
+    def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
+        valid = self._stream_valid(codes, offsets)
+        if len(valid) == 0:
+            return
+        batches = [w for w, _, _ in self._stream_words(codes, valid)]
+        if batches:
+            self.wordset.remove_words(jnp.concatenate(batches, axis=0))
+
+    def query_codes_stream(self, codes: np.ndarray, offsets: np.ndarray):
+        """(total_kmers, positive_kmers) over a record stream — the CLI
+        `query` counters (`/root/reference/examples/cbl.rs:212-228`)."""
+        valid = self._stream_valid(codes, offsets)
+        total = int(valid.sum())
+        positive = 0
+        for words, vbuf, _ in self._stream_words(codes, valid):
+            mask = np.asarray(self.wordset.contains_words(words))
+            positive += int(np.count_nonzero(mask & vbuf))
+        return total, positive
 
     def _check_len(self, seq) -> None:
         # `src/cbl.rs:293-298`: assert seq.len() >= K

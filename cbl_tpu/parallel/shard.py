@@ -1,0 +1,316 @@
+"""Multi-device prefix-space sharding.
+
+The reference is single-threaded CPU (SURVEY.md §2.9): it has *no* parallel
+components.  The natural distribution seam it exposes is the prefix/suffix
+radix split (`/root/reference/src/wordset/mod.rs:63-71`): the word space is
+an ordered radix partition, so sharding by the **top SHARD_BITS bits of the
+packed word** gives every device an independent slice of the index whose
+concatenation reproduces the single-device iteration order exactly.
+
+Design (TPU-native, "How to Scale Your Model" recipe):
+- mesh: 1-D `('d',)` over all devices; index state [D, C, L] sharded on d.
+- routing (EP-style all-to-all): each device computes words from its local
+  read batch, bucket-sorts them by owner shard, and exchanges buckets with
+  `jax.lax.all_to_all` over ICI.
+- update: each shard folds received words into its sorted slice with the
+  same merge program as the single-chip path.
+- counts / reductions: local counts + `psum`.
+- set algebra: partitions are aligned, so union/intersection/… are purely
+  local shard-wise merges — embarrassingly parallel.
+
+Sentinel routing trick: invalid word rows are all-ones, so their "owner" is
+shard D-1, where the merge compaction drops them — no separate masking.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import limbs
+from ..config import CBLConfig
+from ..wordset import MIN_CAP, _U32_MAX, sort_rows, _valid_mask, _compact
+
+AXIS = "d"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _owner_of(words, cfg: CBLConfig, shard_bits: int):
+    """Top shard_bits of the packed word (sub-field of the prefix)."""
+    if shard_bits == 0:
+        return jnp.zeros(words.shape[:-1], dtype=jnp.uint32)
+    return limbs.extract_bits(words, cfg.n_bits - shard_bits, shard_bits)
+
+
+def _bucket_by_owner(words, owner, n_buckets: int, bucket_cap: int):
+    """Scatter [B, L] rows into [n_buckets, bucket_cap, L] (sentinel-padded),
+    preserving order inside each bucket.  Rows beyond a bucket's capacity are
+    dropped (capacity is chosen = B so this cannot happen)."""
+    B, L = words.shape
+    onehot = (owner[:, None] == jnp.arange(n_buckets, dtype=jnp.uint32)[None, :]).astype(
+        jnp.int32
+    )
+    rank = jnp.cumsum(onehot, axis=0) - 1  # [B, n_buckets]
+    my_rank = jnp.take_along_axis(rank, owner[:, None].astype(jnp.int32), axis=1)[:, 0]
+    slot = owner.astype(jnp.int32) * bucket_cap + my_rank
+    flat = jnp.full((n_buckets * bucket_cap, L), _U32_MAX, dtype=jnp.uint32)
+    flat = flat.at[slot].set(words, mode="drop")
+    return flat.reshape(n_buckets, bucket_cap, L)
+
+
+@lru_cache(maxsize=None)
+def _insert_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
+    """jitted [D, C, L] state x [D, B, L] words -> new state + per-shard counts."""
+    D = mesh.devices.size
+    shard_bits = max((D - 1).bit_length(), 0)
+    L = cfg.word_limbs
+
+    def local_step(data, words):
+        # data: [1, C, L] local slice; words: [1, B, L] local batch
+        data = data[0]
+        words = words[0]
+        owner = _owner_of(words, cfg, shard_bits)
+        send = _bucket_by_owner(words, owner, D, B)  # [D, B, L]
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=True)
+        cat = jnp.concatenate([data, recv.reshape(D * B, L)], axis=0)
+        s = sort_rows(cat)
+        prev_eq = jnp.concatenate(
+            [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+        )
+        keep = _valid_mask(s) & ~prev_eq
+        new_data, n = _compact(s, keep, C)
+        return new_data[None], n[None]
+
+    step = jax.shard_map(
+        local_step, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P(AXIS))
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
+def _contains_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
+    """jitted [D, C, L] state x [D, B, L] queries -> [D, B] hit mask, with
+    results routed back to the querying device in original order."""
+    D = mesh.devices.size
+    shard_bits = max((D - 1).bit_length(), 0)
+    L = cfg.word_limbs
+    from ..wordset import _contains_kernel
+
+    def local_step(data, words):
+        data = data[0]
+        words = words[0]
+        owner = _owner_of(words, cfg, shard_bits)
+        onehot = (
+            owner[:, None] == jnp.arange(D, dtype=jnp.uint32)[None, :]
+        ).astype(jnp.int32)
+        rank = jnp.cumsum(onehot, axis=0) - 1
+        my_rank = jnp.take_along_axis(
+            rank, owner[:, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        slot = owner.astype(jnp.int32) * B + my_rank
+        flat = jnp.full((D * B, L), _U32_MAX, dtype=jnp.uint32)
+        flat = flat.at[slot].set(words, mode="drop")
+        recv = jax.lax.all_to_all(
+            flat.reshape(D, B, L), AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        hits = _contains_kernel(data, recv.reshape(D * B, L))  # [D*B]
+        back = jax.lax.all_to_all(
+            hits.reshape(D, B), AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        mine = back.reshape(D * B)[slot]  # un-bucket to original order
+        return mine[None]
+
+    step = jax.shard_map(
+        local_step, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS)
+    )
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
+def _union_fn(cfg: CBLConfig, mesh: Mesh, Ca: int, Cb: int, Cout: int):
+    """Shard-aligned union: purely local merges (SURVEY.md §2.9)."""
+
+    def local(a, b):
+        cat = jnp.concatenate([a[0], b[0]], axis=0)
+        s = sort_rows(cat)
+        prev_eq = jnp.concatenate(
+            [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+        )
+        keep = _valid_mask(s) & ~prev_eq
+        out, n = _compact(s, keep, Cout)
+        return out[None], n[None]
+
+    step = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P(AXIS))
+    )
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
+def _count_fn(mesh: Mesh):
+    def local(counts):
+        return jax.lax.psum(counts, AXIS)
+
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=P(AXIS), out_specs=P())
+    )
+
+
+class ShardedCBL:
+    """A CBL index partitioned over a 1-D device mesh by word prefix.
+
+    Per-shard state is one sorted sentinel-padded slice (same layout as
+    DeviceWordSet.data).  Semantics: the union of shard slices equals the
+    single-device index; concatenating shards in mesh order yields the exact
+    single-device sorted word order.
+    """
+
+    def __init__(
+        self,
+        k: int = 25,
+        prefix_bits: int = 24,
+        canonical: bool = False,
+        mesh: Mesh | None = None,
+        shard_capacity: int = MIN_CAP,
+        batch_per_device: int = 1 << 14,
+    ):
+        from ..config import get_config
+
+        self.cfg = get_config(k=k, prefix_bits=prefix_bits)
+        self.canonical = canonical
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.D = self.mesh.devices.size
+        assert self.D & (self.D - 1) == 0, "device count must be a power of two"
+        self.C = shard_capacity
+        self.B = batch_per_device
+        self.L = self.cfg.word_limbs
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        self.data = jax.device_put(
+            jnp.full((self.D, self.C, self.L), _U32_MAX, dtype=jnp.uint32), sharding
+        )
+        self.shard_counts = np.zeros(self.D, dtype=np.int64)
+
+    # --- word-level ops (device-batched) ---
+
+    def _ensure_capacity(self, incoming_per_shard: int) -> None:
+        need = int(self.shard_counts.max()) + incoming_per_shard
+        if need <= self.C:
+            return
+        new_c = max(self.C * 2, 1 << (need - 1).bit_length())
+        pad = jnp.full(
+            (self.D, new_c - self.C, self.L), _U32_MAX, dtype=jnp.uint32
+        )
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        self.data = jax.device_put(
+            jnp.concatenate([self.data, pad], axis=1), sharding
+        )
+        self.C = new_c
+
+    def insert_words(self, words) -> None:
+        """words: [N, L] host/device rows (sentinel rows ignored); they are
+        split evenly across devices, routed to owners, and merged."""
+        words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
+        B = self.B
+        for start in range(0, words.shape[0], self.D * B):
+            batch = words[start : start + self.D * B]
+            buf = np.full((self.D * B, self.L), _U32_MAX, dtype=np.uint32)
+            buf[: batch.shape[0]] = batch
+            # worst-case: every word in the exchange lands on one shard
+            self._ensure_capacity(self.D * B)
+            fn = _insert_step_fn(self.cfg, self.mesh, self.C, B)
+            sharding = NamedSharding(self.mesh, P(AXIS))
+            dev_words = jax.device_put(buf.reshape(self.D, B, self.L), sharding)
+            self.data, counts = fn(self.data, dev_words)
+            self.shard_counts = np.asarray(counts).astype(np.int64)
+
+    def contains_words(self, words) -> np.ndarray:
+        words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
+        out = []
+        B = self.B
+        fn = _contains_step_fn(self.cfg, self.mesh, self.C, B)
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        for start in range(0, words.shape[0], self.D * B):
+            batch = words[start : start + self.D * B]
+            buf = np.full((self.D * B, self.L), _U32_MAX, dtype=np.uint32)
+            buf[: batch.shape[0]] = batch
+            dev_words = jax.device_put(buf.reshape(self.D, B, self.L), sharding)
+            mask = np.asarray(fn(self.data, dev_words)).reshape(-1)
+            out.append(mask[: batch.shape[0]])
+        if not out:
+            return np.zeros(0, dtype=bool)
+        return np.concatenate(out)
+
+    def count(self) -> int:
+        return int(self.shard_counts.sum())
+
+    def union(self, other: "ShardedCBL") -> "ShardedCBL":
+        assert self.cfg == other.cfg and self.canonical == other.canonical
+        need = int((self.shard_counts + other.shard_counts).max())
+        cout = max(MIN_CAP, 1 << max(need - 1, 1).bit_length())
+        out = ShardedCBL(
+            k=self.cfg.k,
+            prefix_bits=self.cfg.prefix_bits,
+            canonical=self.canonical,
+            mesh=self.mesh,
+            shard_capacity=cout,
+            batch_per_device=self.B,
+        )
+        fn = _union_fn(self.cfg, self.mesh, self.C, other.C, cout)
+        out.data, counts = fn(self.data, other.data)
+        out.shard_counts = np.asarray(counts).astype(np.int64)
+        return out
+
+    # --- sequence front-end (reuses the single-chip pipeline) ---
+
+    def _words_of_codes(self, codes: np.ndarray, offsets: np.ndarray):
+        from ..cbl import CBL
+
+        front = CBL(
+            k=self.cfg.k,
+            prefix_bits=self.cfg.prefix_bits,
+            canonical=self.canonical,
+        )
+        valid = front._stream_valid(codes, offsets)
+        if len(valid) == 0:
+            return
+        for words, _, _ in front._stream_words(codes, valid):
+            yield np.asarray(words)
+
+    def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
+        for words in self._words_of_codes(codes, offsets):
+            self.insert_words(words)
+
+    def to_cbl(self):
+        """Gather shards into a single-device CBL (exact same word set)."""
+        from ..cbl import CBL
+
+        out = CBL(
+            k=self.cfg.k,
+            prefix_bits=self.cfg.prefix_bits,
+            canonical=self.canonical,
+        )
+        host = np.asarray(self.data)  # [D, C, L]
+        rows = [host[d, : self.shard_counts[d]] for d in range(self.D)]
+        allrows = np.concatenate(rows) if rows else np.zeros((0, self.L))
+        if allrows.shape[0]:
+            out.wordset.insert_words(allrows.astype(np.uint32))
+            out.wordset.flush()
+        return out
+
+    def words_array(self) -> np.ndarray:
+        """[n, L] rows in global sorted order (shard-major == sorted)."""
+        host = np.asarray(self.data)
+        rows = [host[d, : self.shard_counts[d]] for d in range(self.D)]
+        return (
+            np.concatenate(rows)
+            if rows
+            else np.zeros((0, self.L), dtype=np.uint32)
+        )

@@ -106,9 +106,11 @@ def _searchsorted_kernel(data, queries):
         hi = jnp.where(less, hi, mid)
         return lo, hi
 
-    n = queries.shape[0]
-    lo = jnp.zeros((n,), dtype=jnp.int32)
-    hi = jnp.full((n,), C, dtype=jnp.int32)
+    # derive the carry from `queries` so it inherits any mesh-axis-varying
+    # type when called inside shard_map (a plain jnp.zeros carry would be
+    # replicated and trip the scan carry-type check)
+    lo = (queries[:, 0] * 0).astype(jnp.int32)
+    hi = lo + C
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
     return lo
 

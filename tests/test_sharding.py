@@ -1,0 +1,106 @@
+"""Multi-device prefix-space sharding on the 8-device CPU mesh.
+
+Exactness contract (SURVEY.md §2.9): the sharded index must contain the
+same word set as the single-device index, with shard-major order equal to
+global sorted order."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cbl_tpu import CBL, limbs
+from cbl_tpu.config import get_config
+from cbl_tpu.kmer import decode_codes
+from cbl_tpu.parallel import ShardedCBL, make_mesh
+
+
+def _random_nucs(n, seed):
+    rng = np.random.default_rng(seed)
+    return decode_codes(rng.integers(0, 4, size=n, dtype=np.uint8))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(jax.devices()[:8])
+
+
+def test_sharded_matches_single_device(mesh):
+    seq = _random_nucs(20_000, seed=0)
+    codes_offsets = None
+    single = CBL(k=25)
+    single.insert_seq(seq)
+
+    sharded = ShardedCBL(k=25, mesh=mesh, batch_per_device=1024)
+    from cbl_tpu.kmer import encode_seq
+
+    codes = encode_seq(seq)
+    offsets = np.array([0, len(codes)], dtype=np.int64)
+    sharded.insert_codes_stream(codes, offsets)
+
+    assert sharded.count() == single.count()
+    np.testing.assert_array_equal(
+        sharded.words_array(), single.wordset.words_array()
+    )
+
+
+def test_sharded_contains_routing(mesh):
+    seq = _random_nucs(8_000, seed=1)
+    other = _random_nucs(8_000, seed=2)
+    sharded = ShardedCBL(k=25, canonical=True, mesh=mesh, batch_per_device=512)
+    single = CBL.new_canonical(k=25)
+    from cbl_tpu.kmer import encode_seq
+
+    codes = encode_seq(seq)
+    offsets = np.array([0, len(codes)], dtype=np.int64)
+    sharded.insert_codes_stream(codes, offsets)
+    single.insert_seq(seq)
+
+    # query words derived from a different sequence: mixed hits/misses
+    front = CBL.new_canonical(k=25)
+    qcodes = encode_seq(other)
+    valid = front._stream_valid(qcodes, np.array([0, len(qcodes)]))
+    qwords = np.concatenate(
+        [np.asarray(w) for w, _, _ in front._stream_words(qcodes, valid)]
+    )
+    got = sharded.contains_words(qwords)
+    expect = np.asarray(single.wordset.contains_words(qwords))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_sharded_union(mesh):
+    s1 = _random_nucs(6_000, seed=3)
+    s2 = _random_nucs(6_000, seed=4)
+    from cbl_tpu.kmer import encode_seq
+
+    a = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    b = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    c1, c2 = encode_seq(s1), encode_seq(s2)
+    a.insert_codes_stream(c1, np.array([0, len(c1)]))
+    b.insert_codes_stream(c2, np.array([0, len(c2)]))
+    u = a.union(b)
+
+    single = CBL(k=25)
+    single.insert_seq(s1)
+    single.insert_seq(s2)
+    assert u.count() == single.count()
+    np.testing.assert_array_equal(u.words_array(), single.wordset.words_array())
+
+
+def test_to_cbl_roundtrip(mesh):
+    seq = _random_nucs(5_000, seed=5)
+    from cbl_tpu.kmer import encode_seq
+
+    sharded = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    codes = encode_seq(seq)
+    sharded.insert_codes_stream(codes, np.array([0, len(codes)]))
+    local = sharded.to_cbl()
+    assert local.count() == sharded.count()
+    assert np.all(local.contains_seq(seq))
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
