@@ -1,0 +1,178 @@
+// Single-CPU-core reference-class baseline for bench.py.
+//
+// Implements the CBL method's hot path the way the reference does on CPU
+// (K=25): streaming necklace computation with a monotone deque of M-bit
+// lexicographic minimizers (amortised O(1) per k-mer — the algorithm of the
+// CBL paper; cf. /root/reference/src/necklace/queue.rs for the behavior it
+// must match) and set storage in a flat open-addressing hash table, which is
+// *faster* than the reference's rank/tiered/trie structure for pure
+// throughput — i.e. this is a conservative (strong) baseline to compare the
+// TPU path against.
+//
+// Input: a binary file of 2-bit base codes (uint8 per base).
+// Output: one JSON line with single-core insert/query k-mers per second.
+//
+// Build: g++ -O3 -march=native -std=c++17 baseline.cpp -o baseline
+
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <deque>
+#include <vector>
+
+static constexpr int K = 25;
+static constexpr int BITS = 2 * K;        // 50
+static constexpr int M = 9;               // minimizer width (reference M=9)
+static constexpr int WIDTH = BITS - M + 1; // 42 window positions
+static constexpr int POS_BITS = 6;        // ceil(lg 64) for 50-bit words
+static constexpr uint64_t MASK = (1ULL << BITS) - 1;
+static constexpr uint64_t MIN_MASK = (1ULL << M) - 1;
+
+// --- flat open-addressing hash set (linear probing, pow2 capacity) ---
+struct HashSet {
+  std::vector<uint64_t> slots;  // key+1 (0 = empty)
+  size_t mask;
+  size_t count = 0;
+  explicit HashSet(size_t cap_pow2) : slots(cap_pow2, 0), mask(cap_pow2 - 1) {}
+  static inline uint64_t hash(uint64_t x) {
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33; return x;
+  }
+  inline bool insert(uint64_t key) {
+    uint64_t v = key + 1;
+    size_t i = hash(key) & mask;
+    while (true) {
+      uint64_t s = slots[i];
+      if (s == 0) { slots[i] = v; count++; return true; }
+      if (s == v) return false;
+      i = (i + 1) & mask;
+    }
+  }
+  inline bool contains(uint64_t key) const {
+    uint64_t v = key + 1;
+    size_t i = hash(key) & mask;
+    while (true) {
+      uint64_t s = slots[i];
+      if (s == 0) return false;
+      if (s == v) return true;
+      i = (i + 1) & mask;
+    }
+  }
+};
+
+// --- streaming necklace: monotone minimizer deque over the 42 window
+// positions + the 8 wrap-around rotations ---
+struct NecklaceStream {
+  uint64_t word = 0;
+  // (minimizer value, absolute position counter)
+  std::deque<std::pair<uint64_t, uint64_t>> deq;
+  uint64_t abs_pos = 0;  // absolute index of the next window to insert
+
+  inline void push_window(uint64_t value) {
+    // evict expired front (window left the 42-wide range)
+    if (!deq.empty() && deq.front().second + WIDTH <= abs_pos)
+      deq.pop_front();
+    while (!deq.empty() && deq.back().first > value) deq.pop_back();
+    deq.emplace_back(value, abs_pos);
+    abs_pos++;
+  }
+
+  inline void seed(uint64_t w) {
+    word = w & MASK;
+    deq.clear();
+    abs_pos = 0;
+    for (int p = 0; p < WIDTH; p++)
+      push_window((w >> (BITS - p - M)) & MIN_MASK);
+  }
+
+  inline void append_base(uint64_t b) {
+    word = ((word << 2) | (b & 3)) & MASK;
+    push_window((word >> 1) & MIN_MASK);
+    push_window(word & MIN_MASK);
+  }
+
+  inline uint64_t rotation(int p) const {
+    return ((word << p) & MASK) | (word >> (BITS - p));
+  }
+
+  // (necklace << POS_BITS) | pos, smallest pos among minima
+  inline uint64_t packed_word() const {
+    uint64_t best = ~0ULL;
+    int best_pos = 0;
+    // all deque entries tied at the minimum are candidate start positions
+    uint64_t minval = deq.front().first;
+    for (const auto& e : deq) {
+      if (e.first != minval) break;
+      int p = (int)(e.second - (abs_pos - WIDTH));  // window offset in [0,WIDTH)
+      uint64_t rot = rotation(p);
+      if (rot < best || (rot == best && p < best_pos)) { best = rot; best_pos = p; }
+    }
+    for (int p = WIDTH; p < BITS; p++) {  // wrap-around candidates
+      uint64_t rot = rotation(p);
+      if (rot < best || (rot == best && p < best_pos)) { best = rot; best_pos = p; }
+    }
+    return (best << POS_BITS) | (uint64_t)best_pos;
+  }
+};
+
+int main(int argc, char** argv) {
+  if (argc < 2) { fprintf(stderr, "usage: baseline <codes.bin>\n"); return 2; }
+  FILE* f = fopen(argv[1], "rb");
+  if (!f) { fprintf(stderr, "cannot open %s\n", argv[1]); return 2; }
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> codes(n);
+  if (fread(codes.data(), 1, n, f) != (size_t)n) { return 2; }
+  fclose(f);
+  if (n < K) { fprintf(stderr, "input too short\n"); return 2; }
+  size_t n_kmers = n - K + 1;
+
+  size_t cap = 1;
+  while (cap < n_kmers * 2) cap <<= 1;
+  HashSet set(cap);
+
+  using clk = std::chrono::steady_clock;
+
+  // --- insert pass ---
+  auto t0 = clk::now();
+  {
+    NecklaceStream ns;
+    uint64_t w = 0;
+    for (int i = 0; i < K; i++) w = (w << 2) | codes[i];
+    ns.seed(w);
+    set.insert(ns.packed_word());
+    for (size_t i = K; i < (size_t)n; i++) {
+      ns.append_base(codes[i]);
+      set.insert(ns.packed_word());
+    }
+  }
+  auto t1 = clk::now();
+
+  // --- query pass ---
+  size_t positive = 0;
+  {
+    NecklaceStream ns;
+    uint64_t w = 0;
+    for (int i = 0; i < K; i++) w = (w << 2) | codes[i];
+    ns.seed(w);
+    positive += set.contains(ns.packed_word());
+    for (size_t i = K; i < (size_t)n; i++) {
+      ns.append_base(codes[i]);
+      positive += set.contains(ns.packed_word());
+    }
+  }
+  auto t2 = clk::now();
+
+  double ti = std::chrono::duration<double>(t1 - t0).count();
+  double tq = std::chrono::duration<double>(t2 - t1).count();
+  printf(
+      "{\"n_kmers\": %zu, \"distinct\": %zu, \"positive\": %zu, "
+      "\"insert_s\": %.6f, \"query_s\": %.6f, "
+      "\"insert_kmers_per_s\": %.1f, \"query_kmers_per_s\": %.1f}\n",
+      n_kmers, set.count, positive, ti, tq, n_kmers / ti, n_kmers / tq);
+  return 0;
+}

@@ -51,16 +51,21 @@ def _stream_len(chunk: int, k: int) -> int:
 
 @lru_cache(maxsize=None)
 def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int):
-    """codes [S] uint8, valid [chunk] bool -> words [chunk, L] (invalid rows
-    = sentinel).  One fused XLA program per (config, mode, chunk)."""
+    """stream [S/16] uint32 (16 packed bases/word), validbits [chunk/8] uint8
+    (np.packbits) -> words [chunk, L] (invalid rows = sentinel).  One fused
+    XLA program per (config, mode, chunk); inputs are bit-packed host-side to
+    minimise host->device transfer."""
 
-    def run(codes, valid):
-        stream = kmod.pack_stream(codes)
+    def run(stream, validbits):
         kmers = kmod.extract_kmers(stream, chunk, cfg)
         if canonical:
             kmers, _ = kmod.canonicalize(kmers, cfg)
         best, pos = necklace.necklace_pos(kmers, cfg)
         words = necklace.pack_word(best, pos, cfg)
+        valid = (
+            (validbits[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8))
+            & jnp.uint8(1)
+        ).astype(bool).reshape(-1)
         return jnp.where(valid[:, None], words, _U32_MAX)
 
     return jax.jit(run)
@@ -151,10 +156,19 @@ class CBL:
             return seq
         return kmod.encode_seq(seq)
 
-    def _stream_chunks(self, codes: np.ndarray, valid: np.ndarray):
-        """Yield (codes_chunk [S], valid_chunk [chunk], n_kmers) windows."""
+    def _effective_chunk(self, total_kmers: int) -> int:
+        """Scale the chunk to the workload: small inputs compile/run small
+        programs, large streams use the full configured chunk (power-of-two
+        tiers keep the jit cache bounded)."""
+        if total_kmers <= 0:
+            return min(self.chunk, 4096)
+        tier = 1 << max(total_kmers - 1, 1).bit_length()
+        return max(min(self.chunk, tier), 4096)
+
+    def _stream_chunks(self, codes: np.ndarray, valid: np.ndarray, chunk: int):
+        """Yield (stream [S/16] u32, validbits [chunk/8] u8, valid [chunk],
+        n_kmers) windows; both device inputs are bit-packed host-side."""
         k = self.cfg.k
-        chunk = self.chunk
         S = _stream_len(chunk, k)
         total = len(valid)
         for start in range(0, max(total, 1), chunk):
@@ -166,7 +180,7 @@ class CBL:
             cbuf[: len(cseg)] = cseg
             vbuf = np.zeros(chunk, dtype=bool)
             vbuf[:n] = valid[start : start + n]
-            yield cbuf, vbuf, n
+            yield kmod.np_pack_stream(cbuf), np.packbits(vbuf), vbuf, n
 
     def _stream_valid(self, codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """Valid-start mask for a concatenated record stream: a k-mer is
@@ -183,9 +197,10 @@ class CBL:
         return valid
 
     def _stream_words(self, codes: np.ndarray, valid: np.ndarray):
-        fn = _pipeline_fn(self.cfg, self.canonical, self.chunk)
-        for cbuf, vbuf, n in self._stream_chunks(codes, valid):
-            yield fn(cbuf, vbuf), vbuf, n
+        chunk = self._effective_chunk(len(valid))
+        fn = _pipeline_fn(self.cfg, self.canonical, chunk)
+        for stream, vbits, vbuf, n in self._stream_chunks(codes, valid, chunk):
+            yield fn(stream, vbits), vbuf, n
 
     def _seqs_words(self, seqs):
         """Concatenate sequences into one base stream; yield per-chunk word

@@ -54,6 +54,16 @@ def decode_codes(codes: np.ndarray) -> bytes:
     return BASE_LOOKUP[np.asarray(codes)].tobytes()
 
 
+def np_pack_stream(codes: np.ndarray) -> np.ndarray:
+    """Host-side `pack_stream` (numpy): [S] uint8 codes (S%16==0) -> [S/16]
+    uint32.  Packing on host cuts host->device transfer 8x."""
+    c = codes.reshape(-1, BASES_PER_WORD).astype(np.uint32)
+    word = np.zeros(c.shape[0], dtype=np.uint32)
+    for j in range(BASES_PER_WORD):
+        word = (word << np.uint32(2)) | c[:, j]
+    return word
+
+
 def pack_stream(codes):
     """[S] uint8 base codes (S % 16 == 0) -> [S/16] uint32, base s at bits
     [30 - 2*(s%16), 32 - 2*(s%16)) of word s//16 (big-endian bases)."""
@@ -149,6 +159,34 @@ def unpack_bases(kmers, cfg: CBLConfig):
         off = lo % 32
         cols.append(((kmers[..., limb] >> off) & jnp.uint32(3)).astype(jnp.uint8))
     return jnp.stack(cols, axis=-1)
+
+
+# --- k-mer neighborhood ops (`/root/reference/src/kmer.rs:61-90`) ---
+
+
+def extend_kmer(v: int, base: int) -> int:
+    """Append a base without dropping the first (`src/kmer.rs:61-63`)."""
+    return (v << 2) | base
+
+
+def append_kmer(v: int, base: int, k: int) -> int:
+    """Append a base, dropping the first (`src/kmer.rs:70-72`)."""
+    return ((v << 2) | base) & ((1 << (2 * k)) - 1)
+
+
+def prepend_kmer(v: int, base: int, k: int) -> int:
+    """Prepend a base, dropping the last (`src/kmer.rs:76-78`)."""
+    return (v >> 2) | (base << (2 * (k - 1)))
+
+
+def successors(v: int, k: int) -> list[int]:
+    """The 4 k-mers reachable by appending a base (`src/kmer.rs:82-85`)."""
+    return [append_kmer(v, b, k) for b in range(4)]
+
+
+def predecessors(v: int, k: int) -> list[int]:
+    """The 4 k-mers reachable by prepending a base (`src/kmer.rs:87-90`)."""
+    return [prepend_kmer(v, b, k) for b in range(4)]
 
 
 # --- host-side oracle helpers (tests / tiny inputs) ---

@@ -88,6 +88,44 @@ def _merge_kernel(a, b, out_cap: int):
     return _compact(s, keep, out_cap)
 
 
+@partial(jax.jit, static_argnames=("out_cap", "batch_sorted"), donate_argnums=(0,))
+def _merge_scatter_kernel(data, batch, out_cap: int, batch_sorted: bool = False):
+    """Merge `batch` rows into the sorted `data` array WITHOUT re-sorting the
+    index: sort only the batch, then compute every row's final position with
+    two vectorized binary searches and scatter.  O(C + P log C) HBM work vs
+    O((C+P) log^2) for the bitonic full sort — the index merge is the hot
+    amortised cost of the insert path.
+
+    data: [C, L] sorted, sentinel-padded, duplicate-free.
+    batch: [P, L] arbitrary rows (duplicates / sentinels fine).
+    """
+    C, L = data.shape
+    bs = batch if batch_sorted else sort_rows(batch)
+    # drop batch rows that are sentinels, intra-batch duplicates, or already
+    # present in data
+    dup_b = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), limbs.eq(bs[1:], bs[:-1])]
+    )
+    idx_in_data = _searchsorted_kernel(data, bs)  # lower bound, [P]
+    present = (idx_in_data < C) & limbs.eq(
+        data[jnp.clip(idx_in_data, 0, C - 1)], bs
+    )
+    keep_b = _valid_mask(bs) & ~dup_b & ~present
+    rank_b = jnp.cumsum(keep_b.astype(jnp.int32)) - 1
+    # kept-batch rows strictly before each data row
+    pos = _searchsorted_kernel(bs, data)  # [C]
+    kept_prefix = jnp.cumsum(keep_b.astype(jnp.int32))
+    kept_before = jnp.where(pos > 0, kept_prefix[jnp.clip(pos - 1, 0, bs.shape[0] - 1)], 0)
+    keep_d = _valid_mask(data)
+    n_data = jnp.sum(keep_d.astype(jnp.int32))
+    dest_d = jnp.where(keep_d, jnp.arange(C, dtype=jnp.int32) + kept_before, out_cap)
+    dest_b = jnp.where(keep_b, idx_in_data + rank_b, out_cap)
+    out = jnp.full((out_cap, L), _U32_MAX, dtype=jnp.uint32)
+    out = out.at[dest_d].set(data, mode="drop")
+    out = out.at[dest_b].set(bs, mode="drop")
+    return out, n_data + jnp.sum(keep_b.astype(jnp.int32))
+
+
 @jax.jit
 def _searchsorted_kernel(data, queries):
     """Lower-bound index of each query row in sorted `data`.
@@ -177,11 +215,24 @@ class DeviceWordSet:
         self.cfg = cfg
         self.L = cfg.word_limbs
         self.capacity = MIN_CAP
-        self.n = 0
+        # Exact count lives on device; the host tracks an upper bound so the
+        # insert path never blocks on a device->host sync (capacity choices
+        # only need the bound).  `self.n` syncs lazily.
+        self._n_dev = None  # device scalar or None when exactly 0
+        self._n_host: int | None = 0
+        self._n_upper = 0
         self.data = jnp.full((self.capacity, self.L), _U32_MAX, dtype=jnp.uint32)
         self.pending_cap = pending_cap
         self.n_pending = 0
         self.pending = jnp.full((pending_cap, self.L), _U32_MAX, dtype=jnp.uint32)
+
+    @property
+    def n(self) -> int:
+        """Exact element count (forces a device sync if one is pending)."""
+        if self._n_host is None:
+            self._n_host = int(self._n_dev)
+            self._n_upper = self._n_host
+        return self._n_host
 
     # --- insert path ---
 
@@ -213,11 +264,22 @@ class DeviceWordSet:
         self.n_pending = 0
         self._merge_into(rows, n_new_upper=n_pend)
 
-    def _merge_into(self, rows, n_new_upper: int) -> None:
-        out_cap = max(self.capacity, _next_pow2(self.n + n_new_upper), MIN_CAP)
-        self.data, n_dev = _merge_kernel(self.data, rows, out_cap)
+    def _merge_into(self, rows, n_new_upper: int, rows_sorted: bool = False) -> None:
+        out_cap = max(
+            self.capacity, _next_pow2(self._n_upper + n_new_upper), MIN_CAP
+        )
+        self.data, n_dev = _merge_scatter_kernel(
+            self.data, rows, out_cap, rows_sorted
+        )
         self.capacity = out_cap
-        self.n = int(n_dev)
+        self._n_dev = n_dev
+        self._n_host = None  # sync lazily
+        self._n_upper = min(self._n_upper + n_new_upper, out_cap)
+
+    def _set_count(self, n_dev) -> None:
+        self._n_dev = n_dev
+        self._n_host = None
+        self._n_upper = min(self._n_upper, self.capacity)
 
     # --- queries / removal ---
 
@@ -229,7 +291,7 @@ class DeviceWordSet:
     def remove_words(self, words) -> None:
         self.flush()
         self.data, n_dev = _remove_kernel(self.data, words, self.capacity)
-        self.n = int(n_dev)
+        self._set_count(n_dev)
 
     def count(self) -> int:
         self.flush()
@@ -248,9 +310,14 @@ class DeviceWordSet:
         other.flush()
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, self.n + other.n)
-        # donate_argnums=0 would eat self.data; pass a copy-free concat order
-        data, n_dev = _merge_kernel(self.data + jnp.uint32(0), other.data, cap)
-        out.data, out.capacity, out.n = data, cap, int(n_dev)
+        # operands must survive (reference set ops don't consume), so pass a
+        # copy to the donating kernel; other.data is already sorted
+        data, n_dev = _merge_scatter_kernel(
+            self.data + jnp.uint32(0), other.data, cap, True
+        )
+        out.data, out.capacity = data, cap
+        out._n_upper = cap
+        out._set_count(n_dev)
         return out
 
     def intersection(self, other: "DeviceWordSet") -> "DeviceWordSet":
@@ -261,7 +328,9 @@ class DeviceWordSet:
         data, n_dev = _filter_by_membership_kernel(
             self.data, other.data, cap, False
         )
-        out.data, out.capacity, out.n = data, cap, int(n_dev)
+        out.data, out.capacity = data, cap
+        out._n_upper = cap
+        out._set_count(n_dev)
         return out
 
     def difference(self, other: "DeviceWordSet") -> "DeviceWordSet":
@@ -272,7 +341,9 @@ class DeviceWordSet:
         data, n_dev = _filter_by_membership_kernel(
             self.data, other.data, cap, True
         )
-        out.data, out.capacity, out.n = data, cap, int(n_dev)
+        out.data, out.capacity = data, cap
+        out._n_upper = cap
+        out._set_count(n_dev)
         return out
 
     def symmetric_difference(self, other: "DeviceWordSet") -> "DeviceWordSet":
@@ -281,7 +352,9 @@ class DeviceWordSet:
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, self.n + other.n)
         data, n_dev = _symdiff_kernel(self.data, other.data, cap)
-        out.data, out.capacity, out.n = data, cap, int(n_dev)
+        out.data, out.capacity = data, cap
+        out._n_upper = cap
+        out._set_count(n_dev)
         return out
 
     @staticmethod
@@ -309,7 +382,8 @@ class DeviceWordSet:
         out = DeviceWordSet(self.cfg, self.pending_cap)
         out.data = self.data + jnp.uint32(0)
         out.capacity = self.capacity
-        out.n = self.n
+        out._n_host = self.n
+        out._n_upper = self.n
         return out
 
     # --- iteration / export ---
