@@ -135,16 +135,36 @@ def _contains_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
 
 
 @lru_cache(maxsize=None)
-def _union_fn(cfg: CBLConfig, mesh: Mesh, Ca: int, Cb: int, Cout: int):
-    """Shard-aligned union: purely local merges (SURVEY.md §2.9)."""
+def _setop_fn(cfg: CBLConfig, mesh: Mesh, op: str, Ca: int, Cb: int, Cout: int):
+    """Shard-aligned set algebra: partitions are identical on both operands,
+    so every op is purely local per shard (SURVEY.md §2.9)."""
+    from ..wordset import _contains_kernel
 
     def local(a, b):
-        cat = jnp.concatenate([a[0], b[0]], axis=0)
-        s = sort_rows(cat)
-        prev_eq = jnp.concatenate(
-            [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
-        )
-        keep = _valid_mask(s) & ~prev_eq
+        a0, b0 = a[0], b[0]
+        if op == "union":
+            cat = jnp.concatenate([a0, b0], axis=0)
+            s = sort_rows(cat)
+            prev_eq = jnp.concatenate(
+                [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+            )
+            keep = _valid_mask(s) & ~prev_eq
+        elif op in ("intersection", "difference"):
+            hit = _contains_kernel(b0, a0)
+            s = a0
+            keep = _valid_mask(a0) & (hit if op == "intersection" else ~hit)
+        elif op == "symmetric_difference":
+            cat = jnp.concatenate([a0, b0], axis=0)
+            s = sort_rows(cat)
+            prev_eq = jnp.concatenate(
+                [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+            )
+            next_eq = jnp.concatenate(
+                [limbs.eq(s[:-1], s[1:]), jnp.zeros((1,), dtype=bool)]
+            )
+            keep = _valid_mask(s) & ~prev_eq & ~next_eq
+        else:  # pragma: no cover
+            raise ValueError(op)
         out, n = _compact(s, keep, Cout)
         return out[None], n[None]
 
@@ -251,9 +271,12 @@ class ShardedCBL:
     def count(self) -> int:
         return int(self.shard_counts.sum())
 
-    def union(self, other: "ShardedCBL") -> "ShardedCBL":
+    def _binary_op(self, other: "ShardedCBL", op: str) -> "ShardedCBL":
         assert self.cfg == other.cfg and self.canonical == other.canonical
-        need = int((self.shard_counts + other.shard_counts).max())
+        if op in ("union", "symmetric_difference"):
+            need = int((self.shard_counts + other.shard_counts).max())
+        else:
+            need = int(self.shard_counts.max())
         cout = max(MIN_CAP, 1 << max(need - 1, 1).bit_length())
         out = ShardedCBL(
             k=self.cfg.k,
@@ -263,9 +286,43 @@ class ShardedCBL:
             shard_capacity=cout,
             batch_per_device=self.B,
         )
-        fn = _union_fn(self.cfg, self.mesh, self.C, other.C, cout)
+        fn = _setop_fn(self.cfg, self.mesh, op, self.C, other.C, cout)
         out.data, counts = fn(self.data, other.data)
         out.shard_counts = np.asarray(counts).astype(np.int64)
+        return out
+
+    def union(self, other: "ShardedCBL") -> "ShardedCBL":
+        return self._binary_op(other, "union")
+
+    def intersection(self, other: "ShardedCBL") -> "ShardedCBL":
+        return self._binary_op(other, "intersection")
+
+    def difference(self, other: "ShardedCBL") -> "ShardedCBL":
+        return self._binary_op(other, "difference")
+
+    def symmetric_difference(self, other: "ShardedCBL") -> "ShardedCBL":
+        return self._binary_op(other, "symmetric_difference")
+
+    __or__ = union
+    __and__ = intersection
+    __sub__ = difference
+    __xor__ = symmetric_difference
+
+    @staticmethod
+    def merge_many(sets: list["ShardedCBL"]) -> "ShardedCBL":
+        """k-way distributed union (local per shard)."""
+        assert sets
+        out = sets[0]
+        for s in sets[1:]:
+            out = out.union(s)
+        return out
+
+    @staticmethod
+    def intersect_many(sets: list["ShardedCBL"]) -> "ShardedCBL":
+        assert sets
+        out = sets[0]
+        for s in sets[1:]:
+            out = out.intersection(s)
         return out
 
     # --- sequence front-end (reuses the single-chip pipeline) ---

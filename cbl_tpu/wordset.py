@@ -359,11 +359,22 @@ class DeviceWordSet:
 
     @staticmethod
     def merge_many(sets: list["DeviceWordSet"]) -> "DeviceWordSet":
-        """k-way union; `/root/reference/src/wordset/set_ops.rs:11-42`."""
+        """k-way union in ONE sort+dedup pass over all operands —
+        the vectorized analog of the reference's k-way heap merge
+        (`/root/reference/src/wordset/set_ops.rs:11-42`)."""
         assert sets
-        out = sets[0].union(sets[1]) if len(sets) > 1 else sets[0].copy()
-        for s in sets[2:]:
-            out = out.union(s)
+        if len(sets) == 1:
+            return sets[0].copy()
+        for s in sets:
+            s.flush()
+        total = sum(s.n for s in sets)
+        cap = max(MIN_CAP, _next_pow2(total))
+        cat = jnp.concatenate([s.data for s in sets], axis=0)
+        out = DeviceWordSet(sets[0].cfg, sets[0].pending_cap)
+        data, n_dev = _merge_kernel(cat, cat[:0], cap)
+        out.data, out.capacity = data, cap
+        out._n_upper = cap
+        out._set_count(n_dev)
         return out
 
     @staticmethod

@@ -133,6 +133,23 @@ def test_cli_end_to_end(tmp_path):
     assert b"prefixes are used" in r.stderr
 
 
+def test_cli_large_k59(tmp_path):
+    # BASELINE.json config 3: K=59, PREFIX_BITS=28, build + list with exact
+    # enumeration (u128-class words -> 4 uint32 limbs)
+    rng = np.random.default_rng(3)
+    seq = bytes(np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, 400)])
+    reads = tmp_path / "r.fa"
+    reads.write_bytes(b">r\n" + seq + b"\n")
+    idx = tmp_path / "idx59.npz"
+    r = _run_cli("build", str(reads), "-o", str(idx), "-k", "59", "--prefix-bits", "28")
+    assert r.returncode == 0, r.stderr.decode()
+    r = _run_cli("list", str(idx))
+    assert r.returncode == 0
+    lines = sorted(r.stdout.strip().split(b"\n"))
+    expect = sorted({seq[i : i + 59] for i in range(len(seq) - 58)})
+    assert lines == expect
+
+
 def test_cli_set_ops(tmp_path):
     rng = np.random.default_rng(1)
     s1 = bytes(np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, 600)])

@@ -88,6 +88,37 @@ def test_sharded_union(mesh):
     np.testing.assert_array_equal(u.words_array(), single.wordset.words_array())
 
 
+def test_sharded_set_algebra(mesh):
+    s1 = _random_nucs(5_000, seed=6)
+    s2 = _random_nucs(5_000, seed=7)
+    from cbl_tpu.kmer import encode_seq
+
+    def build_sharded(s):
+        x = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+        c = encode_seq(s)
+        x.insert_codes_stream(c, np.array([0, len(c)]))
+        return x
+
+    def build_single(s):
+        x = CBL(k=25)
+        x.insert_seq(s)
+        return x
+
+    a, b = build_sharded(s1), build_sharded(s2)
+    sa, sb = build_single(s1), build_single(s2)
+    for op in ["__and__", "__sub__", "__xor__", "__or__"]:
+        got = getattr(a, op)(b)
+        expect = getattr(sa, op)(sb)
+        assert got.count() == expect.count(), op
+        np.testing.assert_array_equal(
+            got.words_array(), expect.wordset.words_array(), err_msg=op
+        )
+    merged = ShardedCBL.merge_many([a, b, a])
+    assert merged.count() == (sa | sb).count()
+    inter = ShardedCBL.intersect_many([a, b])
+    assert inter.count() == (sa & sb).count()
+
+
 def test_to_cbl_roundtrip(mesh):
     seq = _random_nucs(5_000, seed=5)
     from cbl_tpu.kmer import encode_seq
