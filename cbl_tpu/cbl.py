@@ -49,8 +49,14 @@ def _stream_len(chunk: int, k: int) -> int:
     return (raw + 15) // 16 * 16
 
 
+def _use_pallas() -> bool:
+    import os
+
+    return os.environ.get("CBL_TPU_PALLAS", "") == "1"
+
+
 @lru_cache(maxsize=None)
-def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int):
+def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int, pallas: bool = False):
     """stream [S/16] uint32 (16 packed bases/word), validbits [chunk/8] uint8
     (np.packbits) -> words [chunk, L] (invalid rows = sentinel).  One fused
     XLA program per (config, mode, chunk); inputs are bit-packed host-side to
@@ -60,7 +66,12 @@ def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int):
         kmers = kmod.extract_kmers(stream, chunk, cfg)
         if canonical:
             kmers, _ = kmod.canonicalize(kmers, cfg)
-        best, pos = necklace.necklace_pos(kmers, cfg)
+        if pallas:
+            from .ops.necklace_pallas import necklace_pos_pallas
+
+            best, pos = necklace_pos_pallas(kmers, cfg)
+        else:
+            best, pos = necklace.necklace_pos(kmers, cfg)
         words = necklace.pack_word(best, pos, cfg)
         valid = (
             (validbits[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8))
@@ -198,7 +209,7 @@ class CBL:
 
     def _stream_words(self, codes: np.ndarray, valid: np.ndarray):
         chunk = self._effective_chunk(len(valid))
-        fn = _pipeline_fn(self.cfg, self.canonical, chunk)
+        fn = _pipeline_fn(self.cfg, self.canonical, chunk, _use_pallas())
         for stream, vbits, vbuf, n in self._stream_chunks(codes, valid, chunk):
             yield fn(stream, vbits), vbuf, n
 
@@ -238,13 +249,17 @@ class CBL:
 
     def query_codes_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """(total_kmers, positive_kmers) over a record stream — the CLI
-        `query` counters (`/root/reference/examples/cbl.rs:212-228`)."""
+        `query` counters (`/root/reference/examples/cbl.rs:212-228`).
+
+        Positives are accumulated on device; only one scalar comes back per
+        stream (invalid lanes are sentinel words, which can never match)."""
         valid = self._stream_valid(codes, offsets)
         total = int(valid.sum())
-        positive = 0
-        for words, vbuf, _ in self._stream_words(codes, valid):
-            mask = np.asarray(self.wordset.contains_words(words))
-            positive += int(np.count_nonzero(mask & vbuf))
+        self.wordset.flush()
+        hits = []
+        for words, _, _ in self._stream_words(codes, valid):
+            hits.append(jnp.sum(self.wordset.contains_words(words)))
+        positive = int(sum(int(h) for h in jax.device_get(hits))) if hits else 0
         return total, positive
 
     def _check_len(self, seq) -> None:

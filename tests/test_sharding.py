@@ -131,6 +131,43 @@ def test_to_cbl_roundtrip(mesh):
     assert np.all(local.contains_seq(seq))
 
 
+def test_host_record_slicing():
+    # DP read streaming: hosts get disjoint contiguous record ranges that
+    # cover the input; per-host insert of slices == global insert
+    from cbl_tpu.parallel.distributed import host_record_slice, slice_codes
+    from cbl_tpu.kmer import encode_seq
+
+    rng = np.random.default_rng(8)
+    recs = [
+        rng.integers(0, 4, size=int(n), dtype=np.uint8)
+        for n in rng.integers(30, 400, size=23)
+    ]
+    codes = np.concatenate(recs)
+    offsets = np.cumsum([0] + [len(r) for r in recs], dtype=np.int64)
+    n_hosts = 4
+    ranges = [host_record_slice(offsets, h, n_hosts) for h in range(n_hosts)]
+    # disjoint cover
+    assert ranges[0][0] == 0 and ranges[-1][1] == len(recs)
+    for (a, b), (c, d) in zip(ranges, ranges[1:]):
+        assert b == c
+    # union of per-host inserts == global insert
+    glob = CBL(k=25)
+    glob.insert_codes_stream(codes, offsets)
+    parts = []
+    for h in range(n_hosts):
+        lo, hi = ranges[h]
+        sub, sub_off = slice_codes(codes, offsets, lo, hi)
+        c = CBL(k=25)
+        if len(sub_off) > 1:
+            c.insert_codes_stream(sub, sub_off)
+        parts.append(c)
+    merged = CBL.merge(parts)
+    assert merged.count() == glob.count()
+    np.testing.assert_array_equal(
+        merged.wordset.words_array(), glob.wordset.words_array()
+    )
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
