@@ -291,13 +291,15 @@ class CBL:
     def contains_seq(self, seq) -> np.ndarray:
         """Per-k-mer membership, in sequence order (see module docstring)."""
         self._check_len(seq)
-        out = []
+        self.wordset.flush()
+        masks, ns = [], []
         for words, vbuf, n in self._seqs_words([seq]):
-            mask = np.asarray(self.wordset.contains_words(words))
-            out.append(mask[:n])
-        if not out:
+            masks.append(self.wordset.contains_words(words))
+            ns.append(n)
+        if not masks:
             return np.zeros(0, dtype=bool)
-        return np.concatenate(out)
+        masks = jax.device_get(masks)  # one transfer for the whole stream
+        return np.concatenate([m[:n] for m, n in zip(masks, ns)])
 
     def contains_seqs(self, seqs) -> list[np.ndarray]:
         res = []
@@ -307,7 +309,18 @@ class CBL:
         return res
 
     def contains_all(self, seq) -> bool:
-        return bool(np.all(self.contains_seq(seq)))
+        """True iff every k-mer of `seq` is present
+        (`/root/reference/src/cbl.rs:291-307`)."""
+        self._check_len(seq)
+        codes = self._codes_of(seq)
+        if len(codes) < self.cfg.k:
+            return True
+        offsets = np.array([0, len(codes)], dtype=np.int64)
+        total, positive = self.query_codes_stream(codes, offsets)
+        return positive == total
+
+    def __contains__(self, kmer_int: int) -> bool:
+        return self.contains(kmer_int)
 
     # --- point ops (`src/cbl.rs:219-235`); k-mers given as packed ints ---
 

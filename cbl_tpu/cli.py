@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("repartition", help="Show the repartition of the k-mers in the data structure")
     p.add_argument("index")
 
+    p = sub.add_parser("export-ref", help="Convert an index to the reference binary's .cbl bincode format")
+    p.add_argument("index")
+    p.add_argument("output")
+
+    p = sub.add_parser("import-ref", help="Convert a reference .cbl index (built with -k/--prefix-bits) to cbl_tpu format")
+    p.add_argument("input")
+    p.add_argument("output")
+    _add_common(p)
+
     return ap
 
 
@@ -172,6 +181,18 @@ def main(argv=None) -> int:
     elif cmd == "repartition":
         cbl = _read_index(args.index)
         _repartition_report(cbl)
+    elif cmd == "export-ref":
+        from . import interop
+
+        cbl = _read_index(args.index)
+        _eprint(f"Writing reference-format index to {args.output}")
+        interop.save_reference(cbl, args.output)
+    elif cmd == "import-ref":
+        from . import interop
+
+        _eprint(f"Reading reference-format index from {args.input}")
+        cbl = interop.load_reference(args.input, k=args.k, prefix_bits=args.prefix_bits)
+        _write_index(cbl, args.output)
     return 0
 
 
