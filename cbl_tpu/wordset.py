@@ -112,10 +112,13 @@ def _merge_scatter_kernel(data, batch, out_cap: int, batch_sorted: bool = False)
     )
     keep_b = _valid_mask(bs) & ~dup_b & ~present
     rank_b = jnp.cumsum(keep_b.astype(jnp.int32)) - 1
-    # kept-batch rows strictly before each data row
-    pos = _searchsorted_kernel(bs, data)  # [C]
-    kept_prefix = jnp.cumsum(keep_b.astype(jnp.int32))
-    kept_before = jnp.where(pos > 0, kept_prefix[jnp.clip(pos - 1, 0, bs.shape[0] - 1)], 0)
+    # kept-batch rows landing at or before each data row: a bincount of the
+    # batch's insertion positions + prefix sum — O(C+P), no second binary
+    # search over the (much larger) index side
+    cnt = jnp.zeros((C + 1,), jnp.int32).at[idx_in_data].add(
+        keep_b.astype(jnp.int32), mode="drop"
+    )
+    kept_before = jnp.cumsum(cnt)[:C]
     keep_d = _valid_mask(data)
     n_data = jnp.sum(keep_d.astype(jnp.int32))
     dest_d = jnp.where(keep_d, jnp.arange(C, dtype=jnp.int32) + kept_before, out_cap)
@@ -159,6 +162,49 @@ def _contains_kernel(data, queries):
     C = data.shape[0]
     rows = data[jnp.clip(idx, 0, C - 1)]
     return (idx < C) & limbs.eq(rows, queries) & _valid_mask(queries)
+
+
+DEFAULT_TABLE_BITS = 22
+
+
+def _radix_of(rows, n_bits: int, table_bits: int):
+    """Top `table_bits` bits of each word — the bucket key.  This is the
+    direct-address analog of the reference's prefix bitvector + Fenwick rank
+    (`cxx/rank_bv.h`): position in the sorted array IS the rank, and a dense
+    offsets table replaces rank queries with one gather."""
+    return limbs.extract_bits(rows, n_bits - table_bits, table_bits).astype(
+        jnp.int32
+    )
+
+
+@partial(jax.jit, static_argnames=("n_bits", "table_bits"))
+def _radix_offsets_kernel(data, n_bits: int, table_bits: int):
+    """Sorted data -> (offsets [2^tb + 1] int32, max_bucket scalar)."""
+    valid = _valid_mask(data)
+    radix = _radix_of(data, n_bits, table_bits)
+    cnt = jnp.zeros((1 << table_bits,), jnp.int32).at[
+        jnp.where(valid, radix, 1 << table_bits)
+    ].add(1, mode="drop")
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)]
+    )
+    return offsets, jnp.max(cnt)
+
+
+@partial(jax.jit, static_argnames=("n_bits", "table_bits", "window"))
+def _contains_bucket_kernel(data, offsets, queries, n_bits: int,
+                            table_bits: int, window: int):
+    """Membership via radix bucket + fixed-window scan: one offsets gather,
+    one [P, window] row gather, vectorized compares.  Requires window >=
+    max bucket size (caller tracks the tier)."""
+    C = data.shape[0]
+    radix = _radix_of(queries, n_bits, table_bits)
+    lo = offsets[radix]
+    hi = offsets[radix + 1]
+    w = lo[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+    rows = data[jnp.clip(w, 0, C - 1)]  # [P, window, L]
+    hit = limbs.eq(rows, queries[:, None, :]) & (w < hi[:, None])
+    return jnp.any(hit, axis=1) & _valid_mask(queries)
 
 
 @partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
@@ -225,6 +271,10 @@ class DeviceWordSet:
         self.pending_cap = pending_cap
         self.n_pending = 0
         self.pending = jnp.full((pending_cap, self.L), _U32_MAX, dtype=jnp.uint32)
+        # radix lookup acceleration (rebuilt lazily after each mutation)
+        self.table_bits = min(DEFAULT_TABLE_BITS, cfg.n_bits)
+        self._offsets = None
+        self._window = 8
 
     @property
     def n(self) -> int:
@@ -272,6 +322,7 @@ class DeviceWordSet:
             self.data, rows, out_cap, rows_sorted
         )
         self.capacity = out_cap
+        self._invalidate_index()
         self._n_dev = n_dev
         self._n_host = None  # sync lazily
         self._n_upper = min(self._n_upper + n_new_upper, out_cap)
@@ -283,15 +334,43 @@ class DeviceWordSet:
 
     # --- queries / removal ---
 
+    def _invalidate_index(self) -> None:
+        self._offsets = None
+
+    def _ensure_radix_index(self) -> bool:
+        """Build the offsets table if stale; returns False when the bucket
+        path shouldn't be used (giant buckets -> binary search fallback)."""
+        import os
+
+        if os.environ.get("CBL_TPU_NO_RADIX"):
+            return False
+        if self._offsets is None:
+            self._offsets, mb = _radix_offsets_kernel(
+                self.data, self.cfg.n_bits, self.table_bits
+            )
+            mb = max(int(mb), 1)
+            self._window = max(_next_pow2(mb), 8)
+        return self._window <= 1024
+
     def contains_words(self, words):
         """[N] bool device array; sentinel query rows -> False."""
         self.flush()
+        if self._ensure_radix_index():
+            return _contains_bucket_kernel(
+                self.data,
+                self._offsets,
+                words,
+                self.cfg.n_bits,
+                self.table_bits,
+                self._window,
+            )
         return _contains_kernel(self.data, words)
 
     def remove_words(self, words) -> None:
         self.flush()
         self.data, n_dev = _remove_kernel(self.data, words, self.capacity)
         self._set_count(n_dev)
+        self._invalidate_index()
 
     def count(self) -> int:
         self.flush()

@@ -129,6 +129,41 @@ def test_kway_merge_associativity():
     assert limbs.to_py_ints(inter.words_array()) == expect_i
 
 
+def test_radix_vs_binary_search_paths():
+    import os
+
+    from cbl_tpu.wordset import _contains_kernel
+
+    rng = np.random.default_rng(7)
+    vals = list(set(_rand_words(rng, 8000)))
+    ws = DeviceWordSet(CFG)
+    ws.insert_words(_rows(vals))
+    queries = _rows(vals[:2000] + _rand_words(rng, 2000))
+    got_radix = np.asarray(ws.contains_words(queries))
+    ws.flush()
+    got_binary = np.asarray(_contains_kernel(ws.data, jnp_asarray(queries)))
+    np.testing.assert_array_equal(got_radix, got_binary)
+    assert got_radix[:2000].all()
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def test_radix_fallback_on_giant_bucket():
+    # all words share the same top table_bits -> one bucket > 1024 -> the
+    # bucket path must refuse and fall back to binary search
+    ws = DeviceWordSet(CFG)
+    base = 1 << (CFG.n_bits - CFG.word_limbs * 0 - 30)  # small words, same top bits
+    vals = list(range(2000))
+    ws.insert_words(_rows(vals))
+    assert not ws._ensure_radix_index() or ws._window <= 1024
+    got = np.asarray(ws.contains_words(_rows([5, 4999])))
+    assert got.tolist() == [True, False]
+
+
 def test_contains_on_empty():
     ws = DeviceWordSet(CFG)
     assert not np.any(np.asarray(ws.contains_words(_rows([1, 2, 3]))))
