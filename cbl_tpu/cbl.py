@@ -39,7 +39,7 @@ from . import limbs, necklace
 from .config import CBLConfig, get_config
 from .wordset import DeviceWordSet
 
-DEFAULT_CHUNK = 1 << 16  # k-mers per device program
+DEFAULT_CHUNK = 1 << 19  # k-mers per device program
 _U32_MAX = np.uint32(0xFFFFFFFF)
 
 

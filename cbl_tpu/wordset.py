@@ -41,7 +41,7 @@ from . import limbs
 from .config import CBLConfig
 
 MIN_CAP = 4096
-DEFAULT_PENDING_CAP = 1 << 20
+DEFAULT_PENDING_CAP = 1 << 21
 _U32_MAX = np.uint32(0xFFFFFFFF)
 
 
@@ -127,6 +127,89 @@ def _merge_scatter_kernel(data, batch, out_cap: int, batch_sorted: bool = False)
     out = out.at[dest_d].set(data, mode="drop")
     out = out.at[dest_b].set(bs, mode="drop")
     return out, n_data + jnp.sum(keep_b.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("op", "out_cap"), donate_argnums=(0,))
+def _setop_sort_kernel(a, b, op: str, out_cap: int):
+    """All binary set operations as ONE tagged bitonic sort + adjacency logic
+    + compaction-by-sorting.  No gathers/scatters at all (measured on TPU
+    v5e: sorting 8M 2-key rows ~23ms vs ~350ms to scatter them).
+
+    Semantics (`/root/reference/src/wordset/set_ops.rs`):
+      union:   a ∪ b     (b may contain duplicates/sentinels — insert path)
+      remove:  a \\ b     (b = removal batch, duplicates fine)
+      inter:   a ∩ b     (both duplicate-free)
+      diff:    a \\ b     (both duplicate-free; alias of remove)
+      symdiff: a ∆ b     (both duplicate-free)
+
+    The tag column (a=1, b=0) makes b-rows sort FIRST among equal words, so
+    "predecessor equals me" tells an a-row whether its word is in b.
+    """
+    L = a.shape[-1]
+    rows = jnp.concatenate([a, b], axis=0)
+    tag = jnp.concatenate(
+        [
+            jnp.ones((a.shape[0],), jnp.uint32),
+            jnp.zeros((b.shape[0],), jnp.uint32),
+        ]
+    )
+    ops = tuple(rows[:, l] for l in range(L)) + (tag,)
+    sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
+    s = jnp.stack(sorted_ops[:L], axis=-1)
+    is_a = sorted_ops[L] == 1
+    valid = _valid_mask(s)
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+    )
+    if op == "union":
+        keep = valid & ~prev_eq
+    elif op in ("remove", "diff"):
+        keep = valid & is_a & ~prev_eq
+    elif op == "inter":
+        keep = valid & is_a & prev_eq
+    elif op == "symdiff":
+        next_eq = jnp.concatenate(
+            [limbs.eq(s[:-1], s[1:]), jnp.zeros((1,), dtype=bool)]
+        )
+        keep = valid & ~prev_eq & ~next_eq
+    else:  # pragma: no cover
+        raise ValueError(op)
+    s = jnp.where(keep[:, None], s, _U32_MAX)
+    s = sort_rows(s)
+    total = s.shape[0]
+    if out_cap <= total:
+        out = s[:out_cap]
+    else:
+        pad = jnp.full((out_cap - total, L), _U32_MAX, dtype=jnp.uint32)
+        out = jnp.concatenate([s, pad], axis=0)
+    return out, jnp.sum(keep.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+def _merge_sortcompact_kernel(data, batch, out_cap: int):
+    """Sorted-set union via two bitonic sorts and NO scatters/gathers.
+
+    Measured on TPU v5e: sort of 8M 2-key rows ~= 23ms while a scatter of 8M
+    rows ~= 350ms — so compaction-by-sorting (mark dups/invalid rows as the
+    all-ones sentinel, re-sort so they fall to the end) beats positional
+    scatter by an order of magnitude.  Total: O(2 bitonic sorts of C+P).
+    """
+    L = data.shape[-1]
+    cat = jnp.concatenate([data, batch], axis=0)
+    s = sort_rows(cat)
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+    )
+    keep = _valid_mask(s) & ~prev_eq
+    s = jnp.where(keep[:, None], s, _U32_MAX)
+    s = sort_rows(s)
+    total = s.shape[0]
+    if out_cap <= total:
+        out = s[:out_cap]
+    else:
+        pad = jnp.full((out_cap - total, L), _U32_MAX, dtype=jnp.uint32)
+        out = jnp.concatenate([s, pad], axis=0)
+    return out, jnp.sum(keep.astype(jnp.int32))
 
 
 @jax.jit
@@ -315,12 +398,17 @@ class DeviceWordSet:
         self._merge_into(rows, n_new_upper=n_pend)
 
     def _merge_into(self, rows, n_new_upper: int, rows_sorted: bool = False) -> None:
+        import os
+
         out_cap = max(
             self.capacity, _next_pow2(self._n_upper + n_new_upper), MIN_CAP
         )
-        self.data, n_dev = _merge_scatter_kernel(
-            self.data, rows, out_cap, rows_sorted
-        )
+        if os.environ.get("CBL_TPU_MERGE", "sort") == "scatter":
+            self.data, n_dev = _merge_scatter_kernel(
+                self.data, rows, out_cap, rows_sorted
+            )
+        else:
+            self.data, n_dev = _merge_sortcompact_kernel(self.data, rows, out_cap)
         self.capacity = out_cap
         self._invalidate_index()
         self._n_dev = n_dev
@@ -368,7 +456,9 @@ class DeviceWordSet:
 
     def remove_words(self, words) -> None:
         self.flush()
-        self.data, n_dev = _remove_kernel(self.data, words, self.capacity)
+        self.data, n_dev = _setop_sort_kernel(
+            self.data, words, "remove", self.capacity
+        )
         self._set_count(n_dev)
         self._invalidate_index()
 
@@ -390,9 +480,9 @@ class DeviceWordSet:
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, self.n + other.n)
         # operands must survive (reference set ops don't consume), so pass a
-        # copy to the donating kernel; other.data is already sorted
-        data, n_dev = _merge_scatter_kernel(
-            self.data + jnp.uint32(0), other.data, cap, True
+        # copy to the donating kernel
+        data, n_dev = _merge_sortcompact_kernel(
+            self.data + jnp.uint32(0), other.data, cap
         )
         out.data, out.capacity = data, cap
         out._n_upper = cap
@@ -404,8 +494,8 @@ class DeviceWordSet:
         other.flush()
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, min(self.n, other.n))
-        data, n_dev = _filter_by_membership_kernel(
-            self.data, other.data, cap, False
+        data, n_dev = _setop_sort_kernel(
+            self.data + jnp.uint32(0), other.data, "inter", cap
         )
         out.data, out.capacity = data, cap
         out._n_upper = cap
@@ -417,8 +507,8 @@ class DeviceWordSet:
         other.flush()
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, self.n)
-        data, n_dev = _filter_by_membership_kernel(
-            self.data, other.data, cap, True
+        data, n_dev = _setop_sort_kernel(
+            self.data + jnp.uint32(0), other.data, "diff", cap
         )
         out.data, out.capacity = data, cap
         out._n_upper = cap
@@ -430,7 +520,9 @@ class DeviceWordSet:
         other.flush()
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, self.n + other.n)
-        data, n_dev = _symdiff_kernel(self.data, other.data, cap)
+        data, n_dev = _setop_sort_kernel(
+            self.data + jnp.uint32(0), other.data, "symdiff", cap
+        )
         out.data, out.capacity = data, cap
         out._n_upper = cap
         out._set_count(n_dev)
