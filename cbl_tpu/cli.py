@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.add_argument("-o", "--output", default=None, help="Output file (no serialization by default)")
     p.add_argument("-c", "--canonical", action="store_true", help="Use canonical k-mers")
+    p.add_argument("--sharded", action="store_true",
+                   help="Shard the index across all local devices (prefix-space partition)")
     _add_common(p)
 
     p = sub.add_parser("count", help="Count the k-mers contained in an index")
@@ -51,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("query", help="Query an index for every k-mer contained in a FASTA/Q file")
     p.add_argument("index")
     p.add_argument("input")
+    p.add_argument("--sharded", action="store_true",
+                   help="Distribute the index across all local devices for the query")
 
     for name, help_ in [
         ("insert", "Add the k-mers of a FASTA/Q file to an index"),
@@ -115,10 +119,26 @@ def main(argv=None) -> int:
     cmd = args.command
     if cmd == "build":
         k, pb = args.k, args.prefix_bits
-        cbl = CBL(k=k, prefix_bits=pb, canonical=args.canonical)
         kind = f"canonical {k}-mers" if args.canonical else f"{k}-mers"
         _eprint(f"Building the index of {kind} contained in {args.input}")
         t0 = time.time()
+        if args.sharded:
+            from . import io
+            from .parallel import ShardedCBL
+
+            cbl = ShardedCBL(k=k, prefix_bits=pb, canonical=args.canonical)
+            _eprint(f"Sharding the prefix space across {cbl.D} device(s)")
+            codes, offsets = io.parse_fastx(args.input)
+            cbl.insert_codes_stream(codes, offsets)
+            _eprint(
+                f"Built in {time.time()-t0:.2f}s ({cbl.count()} k-mers; "
+                f"shard balance {cbl.shard_balance().tolist()})"
+            )
+            if args.output:
+                _eprint(f"Writing the index to {args.output}")
+                cbl.save_to_file(args.output)
+            return 0
+        cbl = CBL(k=k, prefix_bits=pb, canonical=args.canonical)
         _stream_file(cbl, args.input, "insert")
         cbl.wordset.flush()
         _eprint(f"Built in {time.time()-t0:.2f}s ({cbl.count()} k-mers)")
@@ -149,7 +169,18 @@ def main(argv=None) -> int:
         _eprint(f"Querying the {kind} contained in {args.input}")
         codes, offsets = io.parse_fastx(args.input)
         t0 = time.time()
-        total, positive = cbl.query_codes_stream(codes, offsets)
+        if args.sharded:
+            from .parallel import ShardedCBL
+
+            sharded = ShardedCBL.from_cbl(cbl)
+            _eprint(f"Index sharded across {sharded.D} device(s)")
+            valid = cbl._stream_valid(codes, offsets)
+            total = int(valid.sum())
+            positive = 0
+            for words, _, _ in cbl._stream_words(codes, valid):
+                positive += int(sharded.contains_words(np.asarray(words)).sum())
+        else:
+            total, positive = cbl.query_codes_stream(codes, offsets)
         dt = time.time() - t0
         _eprint(f"# queries: {total}")
         pct = (positive * 100) / total if total else 0.0

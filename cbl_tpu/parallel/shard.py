@@ -43,11 +43,24 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def _owner_of(words, cfg: CBLConfig, shard_bits: int):
-    """Top shard_bits of the packed word (sub-field of the prefix)."""
-    if shard_bits == 0:
-        return jnp.zeros(words.shape[:-1], dtype=jnp.uint32)
-    return limbs.extract_bits(words, cfg.n_bits - shard_bits, shard_bits)
+def _owner_of(words, boundaries):
+    """Range-partition owner: number of boundaries <= word.
+
+    Plain top-bits sharding is catastrophically skewed for necklaces (a
+    minimal rotation statistically starts with ~log2(2K) zero bits, so top
+    bits are almost always 0 — observed 98% of words on shard 0).  Range
+    partitioning by D-1 quantile boundaries keeps shard-major order equal to
+    global sorted order while balancing load; boundaries are derived from
+    data (SURVEY.md §7 "load-aware prefix partitioning").
+
+    boundaries: [D-1, L] sorted rows.  Sentinel (all-ones) words sort after
+    every boundary -> owner D-1, where compaction drops them."""
+    n_b = boundaries.shape[0]
+    owner = jnp.zeros(words.shape[:-1], dtype=jnp.uint32)
+    for j in range(n_b):
+        ge = ~limbs.lt(words, boundaries[j][None, :])
+        owner = owner + ge.astype(jnp.uint32)
+    return owner
 
 
 def _bucket_by_owner(words, owner, n_buckets: int, bucket_cap: int):
@@ -68,16 +81,16 @@ def _bucket_by_owner(words, owner, n_buckets: int, bucket_cap: int):
 
 @lru_cache(maxsize=None)
 def _insert_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
-    """jitted [D, C, L] state x [D, B, L] words -> new state + per-shard counts."""
+    """jitted ([D, C, L] state, [D, B, L] words, [D-1, L] boundaries) ->
+    new state + per-shard counts."""
     D = mesh.devices.size
-    shard_bits = max((D - 1).bit_length(), 0)
     L = cfg.word_limbs
 
-    def local_step(data, words):
+    def local_step(data, words, boundaries):
         # data: [1, C, L] local slice; words: [1, B, L] local batch
         data = data[0]
         words = words[0]
-        owner = _owner_of(words, cfg, shard_bits)
+        owner = _owner_of(words, boundaries)
         send = _bucket_by_owner(words, owner, D, B)  # [D, B, L]
         recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=True)
         cat = jnp.concatenate([data, recv.reshape(D * B, L)], axis=0)
@@ -86,28 +99,32 @@ def _insert_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
             [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
         )
         keep = _valid_mask(s) & ~prev_eq
-        new_data, n = _compact(s, keep, C)
-        return new_data[None], n[None]
+        # compaction-by-sorting (no scatters; see wordset._setop_sort_kernel)
+        s = jnp.where(keep[:, None], s, jnp.uint32(0xFFFFFFFF))
+        s = sort_rows(s)
+        return s[None, :C], jnp.sum(keep.astype(jnp.int32))[None]
 
     step = jax.shard_map(
-        local_step, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P(AXIS))
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
     )
     return jax.jit(step, donate_argnums=(0,))
 
 
 @lru_cache(maxsize=None)
 def _contains_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
-    """jitted [D, C, L] state x [D, B, L] queries -> [D, B] hit mask, with
-    results routed back to the querying device in original order."""
+    """jitted ([D, C, L] state, [D, B, L] queries, boundaries) -> [D, B] hit
+    mask, with results routed back to the querying device in original order."""
     D = mesh.devices.size
-    shard_bits = max((D - 1).bit_length(), 0)
     L = cfg.word_limbs
     from ..wordset import _contains_kernel
 
-    def local_step(data, words):
+    def local_step(data, words, boundaries):
         data = data[0]
         words = words[0]
-        owner = _owner_of(words, cfg, shard_bits)
+        owner = _owner_of(words, boundaries)
         onehot = (
             owner[:, None] == jnp.arange(D, dtype=jnp.uint32)[None, :]
         ).astype(jnp.int32)
@@ -129,7 +146,10 @@ def _contains_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
         return mine[None]
 
     step = jax.shard_map(
-        local_step, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS)
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=P(AXIS),
     )
     return jax.jit(step)
 
@@ -217,6 +237,37 @@ class ShardedCBL:
             jnp.full((self.D, self.C, self.L), _U32_MAX, dtype=jnp.uint32), sharding
         )
         self.shard_counts = np.zeros(self.D, dtype=np.int64)
+        # Range-partition boundaries [D-1, L]; default = uniform top-bit
+        # splits, replaced by data quantiles on the first insert (necklace
+        # distributions are heavily skewed toward small values).
+        shard_bits = max((self.D - 1).bit_length(), 0)
+        default = [
+            (j << (self.cfg.n_bits - shard_bits)) for j in range(1, self.D)
+        ]
+        self.boundaries = limbs.from_py_ints(default, self.L)
+        self._boundaries_from_data = False
+
+    def _maybe_init_boundaries(self, words: np.ndarray) -> None:
+        """Derive balanced quantile boundaries from the first word batch."""
+        if self._boundaries_from_data or self.count() > 0 or self.D == 1:
+            return
+        valid = ~np.all(words == _U32_MAX, axis=-1)
+        sample = words[valid]
+        if sample.shape[0] < 16 * self.D:
+            return  # too small to estimate; keep defaults
+        if sample.shape[0] > (1 << 18):
+            idx = np.random.default_rng(0).choice(
+                sample.shape[0], size=1 << 18, replace=False
+            )
+            sample = sample[idx]
+        order = np.lexsort(tuple(sample[:, l] for l in range(self.L - 1, -1, -1)))
+        sample = sample[order]
+        qs = [
+            sample[(j * sample.shape[0]) // self.D]
+            for j in range(1, self.D)
+        ]
+        self.boundaries = np.stack(qs).astype(np.uint32)
+        self._boundaries_from_data = True
 
     # --- word-level ops (device-batched) ---
 
@@ -238,7 +289,9 @@ class ShardedCBL:
         """words: [N, L] host/device rows (sentinel rows ignored); they are
         split evenly across devices, routed to owners, and merged."""
         words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
+        self._maybe_init_boundaries(words)
         B = self.B
+        bnd = jnp.asarray(self.boundaries)
         for start in range(0, words.shape[0], self.D * B):
             batch = words[start : start + self.D * B]
             buf = np.full((self.D * B, self.L), _U32_MAX, dtype=np.uint32)
@@ -248,13 +301,14 @@ class ShardedCBL:
             fn = _insert_step_fn(self.cfg, self.mesh, self.C, B)
             sharding = NamedSharding(self.mesh, P(AXIS))
             dev_words = jax.device_put(buf.reshape(self.D, B, self.L), sharding)
-            self.data, counts = fn(self.data, dev_words)
+            self.data, counts = fn(self.data, dev_words, bnd)
             self.shard_counts = np.asarray(counts).astype(np.int64)
 
     def contains_words(self, words) -> np.ndarray:
         words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
         out = []
         B = self.B
+        bnd = jnp.asarray(self.boundaries)
         fn = _contains_step_fn(self.cfg, self.mesh, self.C, B)
         sharding = NamedSharding(self.mesh, P(AXIS))
         for start in range(0, words.shape[0], self.D * B):
@@ -262,7 +316,7 @@ class ShardedCBL:
             buf = np.full((self.D * B, self.L), _U32_MAX, dtype=np.uint32)
             buf[: batch.shape[0]] = batch
             dev_words = jax.device_put(buf.reshape(self.D, B, self.L), sharding)
-            mask = np.asarray(fn(self.data, dev_words)).reshape(-1)
+            mask = np.asarray(fn(self.data, dev_words, bnd)).reshape(-1)
             out.append(mask[: batch.shape[0]])
         if not out:
             return np.zeros(0, dtype=bool)
@@ -271,8 +325,27 @@ class ShardedCBL:
     def count(self) -> int:
         return int(self.shard_counts.sum())
 
+    def _resharded_copy(self, other: "ShardedCBL") -> "ShardedCBL":
+        """Re-route `other`'s words into a copy aligned to self's partition
+        (collective set algebra needs identical boundaries on both sides)."""
+        fresh = ShardedCBL(
+            k=self.cfg.k,
+            prefix_bits=self.cfg.prefix_bits,
+            canonical=other.canonical,
+            mesh=self.mesh,
+            batch_per_device=self.B,
+        )
+        fresh.boundaries = self.boundaries.copy()
+        fresh._boundaries_from_data = True
+        rows = other.words_array()
+        if rows.shape[0]:
+            fresh.insert_words(rows)
+        return fresh
+
     def _binary_op(self, other: "ShardedCBL", op: str) -> "ShardedCBL":
         assert self.cfg == other.cfg and self.canonical == other.canonical
+        if not np.array_equal(self.boundaries, other.boundaries):
+            other = self._resharded_copy(other)
         if op in ("union", "symmetric_difference"):
             need = int((self.shard_counts + other.shard_counts).max())
         else:
@@ -286,6 +359,8 @@ class ShardedCBL:
             shard_capacity=cout,
             batch_per_device=self.B,
         )
+        out.boundaries = self.boundaries.copy()
+        out._boundaries_from_data = self._boundaries_from_data
         fn = _setop_fn(self.cfg, self.mesh, op, self.C, other.C, cout)
         out.data, counts = fn(self.data, other.data)
         out.shard_counts = np.asarray(counts).astype(np.int64)
@@ -344,6 +419,38 @@ class ShardedCBL:
     def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         for words in self._words_of_codes(codes, offsets):
             self.insert_words(words)
+
+    @classmethod
+    def from_cbl(cls, cbl, mesh: Mesh | None = None, **kw) -> "ShardedCBL":
+        """Distribute an existing single-device CBL across the mesh (exact
+        same word set; words are routed to their owner shards)."""
+        out = cls(
+            k=cbl.cfg.k,
+            prefix_bits=cbl.cfg.prefix_bits,
+            canonical=cbl.canonical,
+            mesh=mesh,
+            **kw,
+        )
+        words = cbl.wordset.words_array()
+        if words.shape[0]:
+            out.insert_words(words)
+        return out
+
+    def save_to_file(self, path) -> None:
+        """Persist as a (single) cbl_tpu index file; the sharded layout is
+        reconstructed at load time (the word set is the canonical state)."""
+        self.to_cbl().save_to_file(path)
+
+    @classmethod
+    def load_from_file(cls, path, mesh: Mesh | None = None, **kw) -> "ShardedCBL":
+        from ..cbl import CBL
+
+        return cls.from_cbl(CBL.load_from_file(path), mesh=mesh, **kw)
+
+    def shard_balance(self) -> np.ndarray:
+        """Words per shard — the load-balance stat for the prefix partition
+        (the distributed analog of the repartition stats, SURVEY.md §5.5)."""
+        return self.shard_counts.copy()
 
     def to_cbl(self):
         """Gather shards into a single-device CBL (exact same word set)."""

@@ -131,6 +131,59 @@ def test_to_cbl_roundtrip(mesh):
     assert np.all(local.contains_seq(seq))
 
 
+def test_shard_load_balance(mesh):
+    # necklace words skew toward small values; quantile boundaries must keep
+    # shards balanced (naive top-bits sharding puts ~98% on shard 0)
+    seq = _random_nucs(30_000, seed=30)
+    from cbl_tpu.kmer import encode_seq
+
+    x = ShardedCBL(k=25, mesh=mesh, batch_per_device=4096)
+    c = encode_seq(seq)
+    x.insert_codes_stream(c, np.array([0, len(c)]))
+    bal = x.shard_balance()
+    assert bal.sum() == x.count()
+    assert bal.min() > 0
+    assert bal.max() / max(bal.min(), 1) < 3, bal.tolist()
+
+
+def test_misaligned_boundaries_reshard(mesh):
+    # operands built from different data get different quantile boundaries;
+    # binary ops must still be exact (auto-reshard)
+    from cbl_tpu.kmer import encode_seq
+
+    s1, s2 = _random_nucs(4_000, seed=31), _random_nucs(4_000, seed=32)
+    a = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    b = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    c1, c2 = encode_seq(s1), encode_seq(s2)
+    a.insert_codes_stream(c1, np.array([0, len(c1)]))
+    b.insert_codes_stream(c2, np.array([0, len(c2)]))
+    assert not np.array_equal(a.boundaries, b.boundaries)
+    sa, sb = CBL(k=25), CBL(k=25)
+    sa.insert_seq(s1)
+    sb.insert_seq(s2)
+    u = a | b
+    assert u.count() == (sa | sb).count()
+    np.testing.assert_array_equal(u.words_array(), (sa | sb).wordset.words_array())
+
+
+def test_from_cbl_and_persistence(mesh, tmp_path):
+    seq = _random_nucs(4_000, seed=20)
+    single = CBL.new_canonical(k=25)
+    single.insert_seq(seq)
+    sharded = ShardedCBL.from_cbl(single, mesh=mesh, batch_per_device=512)
+    assert sharded.count() == single.count()
+    np.testing.assert_array_equal(
+        sharded.words_array(), single.wordset.words_array()
+    )
+    p = tmp_path / "sharded.npz"
+    sharded.save_to_file(p)
+    back = ShardedCBL.load_from_file(p, mesh=mesh, batch_per_device=512)
+    assert back.canonical
+    assert back.count() == single.count()
+    bal = sharded.shard_balance()
+    assert bal.sum() == single.count()
+
+
 def test_host_record_slicing():
     # DP read streaming: hosts get disjoint contiguous record ranges that
     # cover the input; per-host insert of slices == global insert
