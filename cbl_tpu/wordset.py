@@ -75,17 +75,7 @@ def _compact(rows, keep, out_cap: int):
     return out, jnp.sum(keep.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
-def _merge_kernel(a, b, out_cap: int):
-    """Sorted-set union of row arrays a and b (rows may repeat / be sentinel).
-    Returns ([out_cap, L] sorted sentinel-padded, count)."""
-    cat = jnp.concatenate([a, b], axis=0)
-    s = sort_rows(cat)
-    prev_eq = jnp.concatenate(
-        [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
-    )
-    keep = _valid_mask(s) & ~prev_eq
-    return _compact(s, keep, out_cap)
+
 
 
 @partial(jax.jit, static_argnames=("out_cap", "batch_sorted"), donate_argnums=(0,))
@@ -290,41 +280,13 @@ def _contains_bucket_kernel(data, offsets, queries, n_bits: int,
     return jnp.any(hit, axis=1) & _valid_mask(queries)
 
 
-@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
-def _remove_kernel(data, batch, out_cap: int):
-    """Remove every row of `batch` from sorted `data`; compact."""
-    idx = _searchsorted_kernel(data, batch)
-    C = data.shape[0]
-    rows = data[jnp.clip(idx, 0, C - 1)]
-    hit = (idx < C) & limbs.eq(rows, batch) & _valid_mask(batch)
-    removed = jnp.zeros((C,), dtype=bool)
-    removed = removed.at[jnp.where(hit, idx, C)].set(True, mode="drop")
-    keep = _valid_mask(data) & ~removed
-    return _compact(data, keep, out_cap)
 
 
-@partial(jax.jit, static_argnames=("out_cap", "negate"))
-def _filter_by_membership_kernel(a, b, out_cap: int, negate: bool):
-    """Intersection (negate=False) or difference (negate=True): keep rows of
-    `a` (not) found in sorted `b`.  `src/wordset/set_ops.rs` semantics."""
-    hit = _contains_kernel(b, a)
-    keep = _valid_mask(a) & (~hit if negate else hit)
-    return _compact(a, keep, out_cap)
 
 
-@partial(jax.jit, static_argnames=("out_cap",))
-def _symdiff_kernel(a, b, out_cap: int):
-    """Rows present in exactly one of two sorted duplicate-free arrays."""
-    cat = jnp.concatenate([a, b], axis=0)
-    s = sort_rows(cat)
-    prev_eq = jnp.concatenate(
-        [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
-    )
-    next_eq = jnp.concatenate(
-        [limbs.eq(s[:-1], s[1:]), jnp.zeros((1,), dtype=bool)]
-    )
-    keep = _valid_mask(s) & ~prev_eq & ~next_eq
-    return _compact(s, keep, out_cap)
+
+
+
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -542,7 +504,7 @@ class DeviceWordSet:
         cap = max(MIN_CAP, _next_pow2(total))
         cat = jnp.concatenate([s.data for s in sets], axis=0)
         out = DeviceWordSet(sets[0].cfg, sets[0].pending_cap)
-        data, n_dev = _merge_kernel(cat, cat[:0], cap)
+        data, n_dev = _merge_sortcompact_kernel(cat, cat[:0], cap)
         out.data, out.capacity = data, cap
         out._n_upper = cap
         out._set_count(n_dev)
