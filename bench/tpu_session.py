@@ -97,21 +97,26 @@ def main():
     log(f"merge scatter     C={C} P={P}: {t*1e3:.1f}ms = {P/t/1e6:.1f}M inserts/s")
 
     # --- 3. contains variants ---
+    for Q in (1 << 19, 1 << 23):
+        queries = jnp.asarray(
+            lb.from_py_ints(list(data[rng.integers(0, C // 2, size=Q)]), 2)
+        )
+        t = timeit_async(
+            lambda d, q: ws._count_hits_kernel(d, q), data_arr, queries, reps=4
+        )
+        log(f"count-hits sort-join Q={Q} in {C//2}: {t*1e3:.1f}ms = {Q/t/1e6:.1f}M/s")
     Q = 1 << 19
     queries = jnp.asarray(
         lb.from_py_ints(list(data[rng.integers(0, C // 2, size=Q)]), 2)
     )
-    t = timeit_async(lambda d, q: ws._contains_kernel(d, q), data_arr, queries, reps=4)
-    log(f"contains binary-search {Q} in {C//2}: {t*1e3:.1f}ms = {Q/t/1e6:.1f}M/s")
-    for tb in (20, 22):
-        offs, mb = ws._radix_offsets_kernel(data_arr, cfg.n_bits, tb)
-        win = max(int(mb), 8)
-        win = 1 << (win - 1).bit_length()
-        t = timeit_async(
-            lambda d, o, q: ws._contains_bucket_kernel(d, o, q, cfg.n_bits, tb, win),
-            data_arr, offs, queries, reps=4,
-        )
-        log(f"contains radix tb={tb} win={win}: {t*1e3:.1f}ms = {Q/t/1e6:.1f}M/s")
+    tb = 22
+    offs, mb = ws._radix_offsets_kernel(data_arr, cfg.n_bits, tb)
+    win = 1 << (max(int(mb), 8) - 1).bit_length()
+    t = timeit_async(
+        lambda d, o, q: ws._contains_bucket_kernel(d, o, q, cfg.n_bits, tb, win),
+        data_arr, offs, queries, reps=4,
+    )
+    log(f"contains radix tb={tb} win={win}: {t*1e3:.1f}ms = {Q/t/1e6:.1f}M/s")
 
     # --- 4. end-to-end bench (8 Mbp, two repeats) ---
     bases = 8_000_000

@@ -236,6 +236,8 @@ class CBL:
         valid = self._stream_valid(codes, offsets)
         if len(valid) == 0:
             return
+        # known upper bound -> single target capacity, no tier ladder
+        self.wordset.reserve(self.wordset._n_upper + int(valid.sum()))
         for words, _, _ in self._stream_words(codes, valid):
             self.wordset.insert_words(words)
 
@@ -256,10 +258,20 @@ class CBL:
         valid = self._stream_valid(codes, offsets)
         total = int(valid.sum())
         self.wordset.flush()
-        hits = []
+        # batch the whole stream's words into one sort-join count per slab:
+        # cost is one tagged sort of (index + slab), independent of slab size
+        slab_rows = 1 << 23
+        positive = 0
+        pending: list = []
+        n_pend = 0
         for words, _, _ in self._stream_words(codes, valid):
-            hits.append(jnp.sum(self.wordset.contains_words(words)))
-        positive = int(sum(int(h) for h in jax.device_get(hits))) if hits else 0
+            pending.append(words)
+            n_pend += words.shape[0]
+            if n_pend >= slab_rows:
+                positive += self.wordset.count_hits(jnp.concatenate(pending))
+                pending, n_pend = [], 0
+        if pending:
+            positive += self.wordset.count_hits(jnp.concatenate(pending))
         return total, positive
 
     def _check_len(self, seq) -> None:

@@ -75,33 +75,50 @@ def pack_stream(codes):
 
 
 def extract_kmers(stream, n_kmers: int, cfg: CBLConfig):
-    """Gather all k-mers of a packed base stream.
+    """Extract all k-mers of a packed base stream WITHOUT gathers.
 
     stream: [S/16] uint32 from `pack_stream` (the first k-mer starts at base
     0).  Returns [n_kmers, L] uint32 limbs, right-aligned 2K-bit values.
+    Requires n_kmers % 16 == 0 (chunk sizes are powers of two >= 4096).
 
-    Replaces the reference's sliding `append` loop
-    (`/root/reference/src/kmer.rs:163-193`) with a batched bit-gather.
+    K-mer starts with the same (i mod 16) phase read the stream at the same
+    static bit offset within consecutive words, so the 16 phases become 16
+    static strided slices + constant shifts — pure VPU work, no gathers
+    (random gathers run ~20x slower than streaming ops on TPU).  Replaces
+    the reference's sliding `append` loop (`src/kmer.rs:163-193`).
     """
     W = cfg.kmer_bits
     L = cfg.kmer_limbs
-    # Prepend L zero words so every 32-bit window index is in range.
-    pad = jnp.zeros((L,), dtype=jnp.uint32)
-    S = jnp.concatenate([pad, stream, jnp.zeros((1,), dtype=jnp.uint32)])
-    i = jnp.arange(n_kmers, dtype=jnp.int32)
-    cols = []
-    for l in range(L):
-        # limb l holds value bits [32*(L-1-l), 32*(L-l)); its 32 source bits
-        # end (exclusive) at stream bit 2i + W - 32*(L-1-l), shifted by the
-        # 32*L pad bits.
-        start = 2 * i + (32 * L + W - 32 * (L - l))
-        w = start >> 5
-        off = (start & 31).astype(jnp.uint32)
-        s0 = S[w]
-        s1 = S[w + 1]
-        col = jnp.where(off == 0, s0, (s0 << off) | ((s1 >> 1) >> (31 - off)))
-        cols.append(col)
-    kmers = jnp.stack(cols, axis=-1)
+    n16 = (n_kmers + BASES_PER_WORD - 1) // BASES_PER_WORD * BASES_PER_WORD
+    n_words = n16 // BASES_PER_WORD
+    # Prepend L zero words (for value bits above W) and append enough words
+    # for the deepest phase read.
+    S = jnp.concatenate(
+        [
+            jnp.zeros((L,), dtype=jnp.uint32),
+            stream,
+            jnp.zeros((L + 8,), dtype=jnp.uint32),
+        ]
+    )
+    # phase_cols[p][l]: [n_words] limb l of k-mers starting at i = 16*j + p
+    out = jnp.zeros((16, n_words, L), dtype=jnp.uint32)
+    for p in range(BASES_PER_WORD):
+        cols = []
+        for l in range(L):
+            # source bits end (exclusive) at stream bit 2i + W - 32*(L-1-l),
+            # with i = 16 j + p; +32L for the zero-pad.
+            start = 2 * p + W - 32 * (L - l) + 32 * L  # + 32 j
+            w0, off = divmod(start, 32)
+            s0 = jax.lax.dynamic_slice_in_dim(S, w0, n_words)
+            if off == 0:
+                col = s0
+            else:
+                s1 = jax.lax.dynamic_slice_in_dim(S, w0 + 1, n_words)
+                col = (s0 << off) | (s1 >> (32 - off))
+            cols.append(col)
+        out = out.at[p].set(jnp.stack(cols, axis=-1))
+    # interleave phases: [16, n_words, L] -> [n_words, 16, L] -> [n16, L]
+    kmers = jnp.transpose(out, (1, 0, 2)).reshape(n16, L)[:n_kmers]
     return limbs.mask_width(kmers, W)
 
 

@@ -203,6 +203,44 @@ def _merge_sortcompact_kernel(data, batch, out_cap: int):
 
 
 @jax.jit
+def _count_hits_kernel(data, queries):
+    """Number of (valid) query rows present in sorted `data`, via a tagged
+    sort-join: cost is ONE bitonic sort of C+Q regardless of Q — far cheaper
+    than per-query random access for large query batches (TPU random gathers
+    run ~20x slower than streaming sorts).
+
+    Within each run of equal words the (unique) data row sorts first; a
+    segmented OR-scan broadcasts its presence to the query rows of the run.
+    """
+    L = data.shape[-1]
+    rows = jnp.concatenate([data, queries], axis=0)
+    tag = jnp.concatenate(
+        [
+            jnp.zeros((data.shape[0],), jnp.uint32),  # data first among equals
+            jnp.ones((queries.shape[0],), jnp.uint32),
+        ]
+    )
+    ops = tuple(rows[:, l] for l in range(L)) + (tag,)
+    sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
+    s = jnp.stack(sorted_ops[:L], axis=-1)
+    is_data = sorted_ops[L] == 0
+    valid = _valid_mask(s)
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), ~limbs.eq(s[1:], s[:-1])]
+    )
+    seed = run_start & is_data
+
+    def combine(a, b):
+        ra, va = a
+        rb, vb = b
+        return ra | rb, jnp.where(rb, vb, va | vb)
+
+    _, has_data = jax.lax.associative_scan(combine, (run_start, seed))
+    hits = (~is_data) & has_data & valid
+    return jnp.sum(hits.astype(jnp.int32))
+
+
+@jax.jit
 def _searchsorted_kernel(data, queries):
     """Lower-bound index of each query row in sorted `data`.
 
@@ -383,6 +421,24 @@ class DeviceWordSet:
         self._n_upper = min(self._n_upper, self.capacity)
 
     # --- queries / removal ---
+
+    def reserve(self, n_total: int) -> None:
+        """Pre-size the capacity for a known workload upper bound: one big
+        merge instead of a ladder of capacity-tier merges (each tier costs a
+        fresh compile + an O(C) pass)."""
+        cap = max(self.capacity, _next_pow2(n_total), MIN_CAP)
+        if cap == self.capacity:
+            return
+        pad = jnp.full((cap - self.capacity, self.L), _U32_MAX, dtype=jnp.uint32)
+        self.data = jnp.concatenate([self.data, pad], axis=0)
+        self.capacity = cap
+        self._invalidate_index()
+
+    def count_hits(self, words) -> int:
+        """Number of stored words among `words` (sentinel rows ignored) —
+        the counting query path (CLI query / contains_all)."""
+        self.flush()
+        return int(_count_hits_kernel(self.data, words))
 
     def _invalidate_index(self) -> None:
         self._offsets = None
