@@ -241,6 +241,56 @@ def _count_hits_kernel(data, queries):
 
 
 @jax.jit
+def _contains_sortjoin_kernel(data, queries):
+    """Ordered membership via tagged sort-join + result scatter.
+
+    Like `_count_hits_kernel` but carries each query's original position as
+    a payload column and scatters per-query hits back — one sort of C+Q plus
+    one Q-sized scatter, vs Q*window random gathers for the radix path.
+    Wins for large query batches."""
+    L = data.shape[-1]
+    Q = queries.shape[0]
+    rows = jnp.concatenate([data, queries], axis=0)
+    tag = jnp.concatenate(
+        [
+            jnp.zeros((data.shape[0],), jnp.uint32),
+            jnp.ones((Q,), jnp.uint32),
+        ]
+    )
+    idx = jnp.concatenate(
+        [
+            jnp.full((data.shape[0],), Q, dtype=jnp.int32),  # dropped
+            jnp.arange(Q, dtype=jnp.int32),
+        ]
+    )
+    ops = tuple(rows[:, l] for l in range(L)) + (tag, idx)
+    sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
+    s = jnp.stack(sorted_ops[:L], axis=-1)
+    is_data = sorted_ops[L] == 0
+    qidx = sorted_ops[L + 1]
+    valid = _valid_mask(s)
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), ~limbs.eq(s[1:], s[:-1])]
+    )
+    seed = run_start & is_data
+
+    def combine(a, b):
+        ra, va = a
+        rb, vb = b
+        return ra | rb, jnp.where(rb, vb, va | vb)
+
+    _, has_data = jax.lax.associative_scan(combine, (run_start, seed))
+    hits = (~is_data) & has_data & valid
+    # un-sort by a cheap 1-key sort on the position payload (data rows carry
+    # position Q and fall off the end) — scatters would cost O(C+Q) updates
+    _, ordered = jax.lax.sort((qidx, hits.astype(jnp.uint32)), num_keys=1)
+    return ordered[:Q].astype(bool)
+
+
+_SORTJOIN_MIN_QUERIES = 1 << 17
+
+
+@jax.jit
 def _searchsorted_kernel(data, queries):
     """Lower-bound index of each query row in sorted `data`.
 
@@ -461,6 +511,8 @@ class DeviceWordSet:
     def contains_words(self, words):
         """[N] bool device array; sentinel query rows -> False."""
         self.flush()
+        if words.shape[0] >= _SORTJOIN_MIN_QUERIES:
+            return _contains_sortjoin_kernel(self.data, words)
         if self._ensure_radix_index():
             return _contains_bucket_kernel(
                 self.data,

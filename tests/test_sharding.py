@@ -131,6 +131,23 @@ def test_to_cbl_roundtrip(mesh):
     assert np.all(local.contains_seq(seq))
 
 
+def test_sharded_wide_words_k59(mesh):
+    # 125-bit packed words = 4 uint32 limbs through routing/boundaries
+    from cbl_tpu.kmer import encode_seq
+
+    seq = _random_nucs(3_000, seed=40)
+    x = ShardedCBL(k=59, prefix_bits=28, mesh=mesh, batch_per_device=512)
+    c = encode_seq(seq)
+    x.insert_codes_stream(c, np.array([0, len(c)]))
+    single = CBL(k=59, prefix_bits=28)
+    single.insert_seq(seq)
+    assert x.count() == single.count()
+    np.testing.assert_array_equal(x.words_array(), single.wordset.words_array())
+    words = single.wordset.words_array()
+    got = x.contains_words(words[:500])
+    assert got.all()
+
+
 def test_shard_load_balance(mesh):
     # necklace words skew toward small values; quantile boundaries must keep
     # shards balanced (naive top-bits sharding puts ~98% on shard 0)
