@@ -178,7 +178,7 @@ def main(argv=None) -> int:
             total = int(valid.sum())
             positive = 0
             for words, _, _ in cbl._stream_words(codes, valid):
-                positive += int(sharded.contains_words(np.asarray(words)).sum())
+                positive += sharded.count_hits(np.asarray(words))
         else:
             total, positive = cbl.query_codes_stream(codes, offsets)
         dt = time.time() - t0

@@ -155,6 +155,32 @@ def _contains_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
 
 
 @lru_cache(maxsize=None)
+def _count_hits_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
+    """Distributed membership counting: route queries to owner shards, count
+    locally with the sort-join kernel, psum the counts."""
+    D = mesh.devices.size
+    L = cfg.word_limbs
+    from ..wordset import _count_hits_kernel
+
+    def local_step(data, words, boundaries):
+        data = data[0]
+        words = words[0]
+        owner = _owner_of(words, boundaries)
+        send = _bucket_by_owner(words, owner, D, B)
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=True)
+        local = _count_hits_kernel(data, recv.reshape(D * B, L))
+        return jax.lax.psum(local, AXIS)[None]
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=P(AXIS),
+    )
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
 def _setop_fn(cfg: CBLConfig, mesh: Mesh, op: str, Ca: int, Cb: int, Cout: int):
     """Shard-aligned set algebra: partitions are identical on both operands,
     so every op is purely local per shard (SURVEY.md §2.9)."""
@@ -324,6 +350,23 @@ class ShardedCBL:
 
     def count(self) -> int:
         return int(self.shard_counts.sum())
+
+    def count_hits(self, words) -> int:
+        """Distributed counting query (sentinel rows ignored)."""
+        words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
+        bnd = jnp.asarray(self.boundaries)
+        fn = _count_hits_step_fn(self.cfg, self.mesh, self.C, self.B)
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        B = self.B
+        total = 0
+        for start in range(0, words.shape[0], self.D * B):
+            batch = words[start : start + self.D * B]
+            buf = np.full((self.D * B, self.L), _U32_MAX, dtype=np.uint32)
+            buf[: batch.shape[0]] = batch
+            dev_words = jax.device_put(buf.reshape(self.D, B, self.L), sharding)
+            counts = np.asarray(fn(self.data, dev_words, bnd))
+            total += int(counts[0])
+        return total
 
     def _resharded_copy(self, other: "ShardedCBL") -> "ShardedCBL":
         """Re-route `other`'s words into a copy aligned to self's partition

@@ -131,6 +131,29 @@ def test_to_cbl_roundtrip(mesh):
     assert np.all(local.contains_seq(seq))
 
 
+def test_sharded_count_hits(mesh):
+    from cbl_tpu.kmer import encode_seq
+
+    seq = _random_nucs(6_000, seed=50)
+    other = _random_nucs(3_000, seed=51)
+    x = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    c = encode_seq(seq)
+    x.insert_codes_stream(c, np.array([0, len(c)]))
+    single = CBL(k=25)
+    single.insert_seq(seq)
+    # mixed members + non-members
+    member_words = single.wordset.words_array()[:1000]
+    front = CBL(k=25)
+    oc = encode_seq(other)
+    valid = front._stream_valid(oc, np.array([0, len(oc)]))
+    other_words = np.concatenate(
+        [np.asarray(w) for w, _, _ in front._stream_words(oc, valid)]
+    )
+    mixed = np.concatenate([member_words, other_words])
+    expect = int(np.asarray(single.wordset.contains_words(mixed)).sum())
+    assert x.count_hits(mixed) == expect
+
+
 def test_sharded_wide_words_k59(mesh):
     # 125-bit packed words = 4 uint32 limbs through routing/boundaries
     from cbl_tpu.kmer import encode_seq
