@@ -230,16 +230,27 @@ class CBL:
 
     # --- streaming fast path (feeds straight from io.parse_fastx) ---
 
+    # ~16M rows/slab: one bulk merge per slab keeps peak HBM bounded while
+    # the per-row merge cost stays ~2 sorts of the slab + live index.
+    _BULK_SLAB_ROWS = 1 << 24
+
     def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         """Insert every k-mer of a concatenated code stream with record
-        `offsets` ([n_records+1]).  This is the CLI/bench hot path."""
+        `offsets` ([n_records+1]).  This is the CLI/bench hot path: chunk
+        word batches are accumulated and folded into the index with ONE
+        concat+sort+dedup merge per slab (not per pending-buffer flush)."""
         valid = self._stream_valid(codes, offsets)
         if len(valid) == 0:
             return
-        # known upper bound -> single target capacity, no tier ladder
-        self.wordset.reserve(self.wordset._n_upper + int(valid.sum()))
+        batches: list = []
+        n_rows = 0
         for words, _, _ in self._stream_words(codes, valid):
-            self.wordset.insert_words(words)
+            batches.append(words)
+            n_rows += words.shape[0]
+            if n_rows >= self._BULK_SLAB_ROWS:
+                self.wordset.insert_rows_bulk(batches)
+                batches, n_rows = [], 0
+        self.wordset.insert_rows_bulk(batches)
 
     def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         valid = self._stream_valid(codes, offsets)

@@ -400,6 +400,9 @@ class DeviceWordSet:
         self._n_dev = None  # device scalar or None when exactly 0
         self._n_host: int | None = 0
         self._n_upper = 0
+        # Invariant: data is sorted, duplicate-free, sentinel-padded, and its
+        # length is the *live size* next_pow2(max(_n_upper, MIN_CAP)) — every
+        # sort/join below costs O(live), never O(high-water capacity).
         self.data = jnp.full((self.capacity, self.L), _U32_MAX, dtype=jnp.uint32)
         self.pending_cap = pending_cap
         self.n_pending = 0
@@ -417,6 +420,13 @@ class DeviceWordSet:
             self._n_upper = self._n_host
         return self._n_host
 
+    def _live(self, floor: int = 1):
+        """The prefix of `data` that can hold every valid row — all sorts,
+        joins, and merges run over this slice so their cost tracks the actual
+        content, not the allocation."""
+        eff = min(self.data.shape[0], max(_next_pow2(max(self._n_upper, 1)), floor))
+        return self.data if eff >= self.data.shape[0] else self.data[:eff]
+
     # --- insert path ---
 
     def insert_words(self, words) -> None:
@@ -430,6 +440,17 @@ class DeviceWordSet:
             self.flush()
         self.pending = _append_kernel(self.pending, words, jnp.int32(self.n_pending))
         self.n_pending += n
+
+    def insert_rows_bulk(self, rows_list: list) -> None:
+        """Fold a whole stream's word batches in ONE merge: concat + sort +
+        dedup + resort.  For a build-from-scratch this is 2 sorts of ~N total,
+        vs a ladder of per-flush merges each sorting the whole index again —
+        the difference between O(N log N) and O(N^2 / pending_cap) HBM work."""
+        if not rows_list:
+            return
+        self.flush()
+        rows = rows_list[0] if len(rows_list) == 1 else jnp.concatenate(rows_list)
+        self._merge_into(rows, n_new_upper=rows.shape[0])
 
     def flush(self) -> None:
         """Fold the pending buffer into the sorted array.
@@ -450,15 +471,14 @@ class DeviceWordSet:
     def _merge_into(self, rows, n_new_upper: int, rows_sorted: bool = False) -> None:
         import os
 
-        out_cap = max(
-            self.capacity, _next_pow2(self._n_upper + n_new_upper), MIN_CAP
-        )
+        out_cap = max(_next_pow2(self._n_upper + n_new_upper), MIN_CAP)
+        data = self._live()
         if os.environ.get("CBL_TPU_MERGE", "sort") == "scatter":
             self.data, n_dev = _merge_scatter_kernel(
-                self.data, rows, out_cap, rows_sorted
+                data, rows, out_cap, rows_sorted
             )
         else:
-            self.data, n_dev = _merge_sortcompact_kernel(self.data, rows, out_cap)
+            self.data, n_dev = _merge_sortcompact_kernel(data, rows, out_cap)
         self.capacity = out_cap
         self._invalidate_index()
         self._n_dev = n_dev
@@ -472,23 +492,11 @@ class DeviceWordSet:
 
     # --- queries / removal ---
 
-    def reserve(self, n_total: int) -> None:
-        """Pre-size the capacity for a known workload upper bound: one big
-        merge instead of a ladder of capacity-tier merges (each tier costs a
-        fresh compile + an O(C) pass)."""
-        cap = max(self.capacity, _next_pow2(n_total), MIN_CAP)
-        if cap == self.capacity:
-            return
-        pad = jnp.full((cap - self.capacity, self.L), _U32_MAX, dtype=jnp.uint32)
-        self.data = jnp.concatenate([self.data, pad], axis=0)
-        self.capacity = cap
-        self._invalidate_index()
-
     def count_hits(self, words) -> int:
         """Number of stored words among `words` (sentinel rows ignored) —
         the counting query path (CLI query / contains_all)."""
         self.flush()
-        return int(_count_hits_kernel(self.data, words))
+        return int(_count_hits_kernel(self._live(), words))
 
     def _invalidate_index(self) -> None:
         self._offsets = None
@@ -502,7 +510,7 @@ class DeviceWordSet:
             return False
         if self._offsets is None:
             self._offsets, mb = _radix_offsets_kernel(
-                self.data, self.cfg.n_bits, self.table_bits
+                self._live(), self.cfg.n_bits, self.table_bits
             )
             mb = max(int(mb), 1)
             self._window = max(_next_pow2(mb), 8)
@@ -512,23 +520,24 @@ class DeviceWordSet:
         """[N] bool device array; sentinel query rows -> False."""
         self.flush()
         if words.shape[0] >= _SORTJOIN_MIN_QUERIES:
-            return _contains_sortjoin_kernel(self.data, words)
+            return _contains_sortjoin_kernel(self._live(), words)
         if self._ensure_radix_index():
             return _contains_bucket_kernel(
-                self.data,
+                self._live(),
                 self._offsets,
                 words,
                 self.cfg.n_bits,
                 self.table_bits,
                 self._window,
             )
-        return _contains_kernel(self.data, words)
+        return _contains_kernel(self._live(), words)
 
     def remove_words(self, words) -> None:
         self.flush()
-        self.data, n_dev = _setop_sort_kernel(
-            self.data, words, "remove", self.capacity
-        )
+        data = self._live()
+        out_cap = data.shape[0]
+        self.data, n_dev = _setop_sort_kernel(data, words, "remove", out_cap)
+        self.capacity = out_cap
         self._set_count(n_dev)
         self._invalidate_index()
 
@@ -544,15 +553,20 @@ class DeviceWordSet:
     def _binary_out_cap(self, other: "DeviceWordSet", upper: int) -> int:
         return max(MIN_CAP, _next_pow2(upper))
 
+    def _live_copy(self):
+        """Live slice safe to pass to a donating kernel (operands of set ops
+        must survive; the reference's set ops don't consume,
+        `src/wordset/set_ops.rs:78-410`)."""
+        d = self._live()
+        return d + jnp.uint32(0) if d is self.data else d
+
     def union(self, other: "DeviceWordSet") -> "DeviceWordSet":
         self.flush()
         other.flush()
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, self.n + other.n)
-        # operands must survive (reference set ops don't consume), so pass a
-        # copy to the donating kernel
         data, n_dev = _merge_sortcompact_kernel(
-            self.data + jnp.uint32(0), other.data, cap
+            self._live_copy(), other._live(), cap
         )
         out.data, out.capacity = data, cap
         out._n_upper = cap
@@ -565,7 +579,7 @@ class DeviceWordSet:
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, min(self.n, other.n))
         data, n_dev = _setop_sort_kernel(
-            self.data + jnp.uint32(0), other.data, "inter", cap
+            self._live_copy(), other._live(), "inter", cap
         )
         out.data, out.capacity = data, cap
         out._n_upper = cap
@@ -578,7 +592,7 @@ class DeviceWordSet:
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, self.n)
         data, n_dev = _setop_sort_kernel(
-            self.data + jnp.uint32(0), other.data, "diff", cap
+            self._live_copy(), other._live(), "diff", cap
         )
         out.data, out.capacity = data, cap
         out._n_upper = cap
@@ -591,7 +605,7 @@ class DeviceWordSet:
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, self.n + other.n)
         data, n_dev = _setop_sort_kernel(
-            self.data + jnp.uint32(0), other.data, "symdiff", cap
+            self._live_copy(), other._live(), "symdiff", cap
         )
         out.data, out.capacity = data, cap
         out._n_upper = cap
@@ -610,7 +624,7 @@ class DeviceWordSet:
             s.flush()
         total = sum(s.n for s in sets)
         cap = max(MIN_CAP, _next_pow2(total))
-        cat = jnp.concatenate([s.data for s in sets], axis=0)
+        cat = jnp.concatenate([s._live() for s in sets], axis=0)
         out = DeviceWordSet(sets[0].cfg, sets[0].pending_cap)
         data, n_dev = _merge_sortcompact_kernel(cat, cat[:0], cap)
         out.data, out.capacity = data, cap
@@ -632,8 +646,8 @@ class DeviceWordSet:
     def copy(self) -> "DeviceWordSet":
         self.flush()
         out = DeviceWordSet(self.cfg, self.pending_cap)
-        out.data = self.data + jnp.uint32(0)
-        out.capacity = self.capacity
+        out.data = self._live_copy()
+        out.capacity = out.data.shape[0]
         out._n_host = self.n
         out._n_upper = self.n
         return out
