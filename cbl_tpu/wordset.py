@@ -202,6 +202,23 @@ def _merge_sortcompact_kernel(data, batch, out_cap: int):
     return out, jnp.sum(keep.astype(jnp.int32))
 
 
+def _run_has_data(s, is_data):
+    """After a tagged sort where the (unique) data row of each equal-word run
+    sorts FIRST: per-row bool 'my run contains a data row'.
+
+    Segmented broadcast WITHOUT a custom-combiner scan (associative_scan
+    builds a log-depth slice/concat HLO program — slow to compile and run at
+    10M+ rows).  Runs get increasing ids by cumsum; a run's data row (its
+    first element) publishes the id, cummax carries it forward; equality
+    recovers the flag."""
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), ~limbs.eq(s[1:], s[:-1])]
+    )
+    run_id = jnp.cumsum(run_start.astype(jnp.int32))  # 1-based
+    seeded = jnp.where(run_start & is_data, run_id, 0)
+    return jax.lax.cummax(seeded) == run_id
+
+
 @jax.jit
 def _count_hits_kernel(data, queries):
     """Number of (valid) query rows present in sorted `data`, via a tagged
@@ -210,7 +227,7 @@ def _count_hits_kernel(data, queries):
     run ~20x slower than streaming sorts).
 
     Within each run of equal words the (unique) data row sorts first; a
-    segmented OR-scan broadcasts its presence to the query rows of the run.
+    segmented broadcast marks the query rows of the run as hits.
     """
     L = data.shape[-1]
     rows = jnp.concatenate([data, queries], axis=0)
@@ -225,18 +242,7 @@ def _count_hits_kernel(data, queries):
     s = jnp.stack(sorted_ops[:L], axis=-1)
     is_data = sorted_ops[L] == 0
     valid = _valid_mask(s)
-    run_start = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), ~limbs.eq(s[1:], s[:-1])]
-    )
-    seed = run_start & is_data
-
-    def combine(a, b):
-        ra, va = a
-        rb, vb = b
-        return ra | rb, jnp.where(rb, vb, va | vb)
-
-    _, has_data = jax.lax.associative_scan(combine, (run_start, seed))
-    hits = (~is_data) & has_data & valid
+    hits = (~is_data) & _run_has_data(s, is_data) & valid
     return jnp.sum(hits.astype(jnp.int32))
 
 
@@ -269,18 +275,7 @@ def _contains_sortjoin_kernel(data, queries):
     is_data = sorted_ops[L] == 0
     qidx = sorted_ops[L + 1]
     valid = _valid_mask(s)
-    run_start = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), ~limbs.eq(s[1:], s[:-1])]
-    )
-    seed = run_start & is_data
-
-    def combine(a, b):
-        ra, va = a
-        rb, vb = b
-        return ra | rb, jnp.where(rb, vb, va | vb)
-
-    _, has_data = jax.lax.associative_scan(combine, (run_start, seed))
-    hits = (~is_data) & has_data & valid
+    hits = (~is_data) & _run_has_data(s, is_data) & valid
     # un-sort by a cheap 1-key sort on the position payload (data rows carry
     # position Q and fall off the end) — scatters would cost O(C+Q) updates
     _, ordered = jax.lax.sort((qidx, hits.astype(jnp.uint32)), num_keys=1)

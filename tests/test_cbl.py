@@ -216,3 +216,23 @@ def test_multiple_records():
     # no k-mer spans the record boundary
     joined = set(_kmers_of(r1, k)) | set(_kmers_of(r2, k))
     assert s.count() == len(joined)
+
+
+def test_insert_codes_stream_multi_slab(monkeypatch):
+    # force several bulk slabs within one stream; result must equal one-shot
+    from cbl_tpu.cbl import CBL as _CBL
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, size=60_000, dtype=np.uint8)
+    offsets = np.array([0, 30_000, 60_000], dtype=np.int64)
+
+    a = _CBL(k=25, chunk_size=4096)
+    b = _CBL(k=25, chunk_size=4096)
+    a.insert_codes_stream(codes, offsets)
+    monkeypatch.setattr(_CBL, "_BULK_SLAB_ROWS", 8192)
+    b.insert_codes_stream(codes, offsets)  # several slab merges
+    monkeypatch.undo()
+    assert a.count() == b.count()
+    ta, tb = a.query_codes_stream(codes, offsets), b.query_codes_stream(codes, offsets)
+    assert ta == tb
+    assert ta[0] == ta[1]

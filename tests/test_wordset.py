@@ -168,3 +168,59 @@ def test_contains_on_empty():
     ws = DeviceWordSet(CFG)
     assert not np.any(np.asarray(ws.contains_words(_rows([1, 2, 3]))))
     assert ws.count() == 0
+
+
+def test_insert_rows_bulk_multi_batch():
+    # bulk path: many batches folded in one merge, duplicates across batches
+    ws = DeviceWordSet(CFG)
+    rng = np.random.default_rng(7)
+    batches, oracle = [], set()
+    for _ in range(5):
+        vals = _rand_words(rng, 1000) + [42, 43]  # cross-batch duplicates
+        oracle.update(vals)
+        batches.append(jnp_asarray(_rows(vals)))
+    ws.insert_rows_bulk(batches)
+    assert ws.count() == len(oracle)
+    assert limbs.to_py_ints(ws.words_array()) == sorted(oracle)
+    # second bulk overlapping the first (merge into non-empty live index)
+    vals2 = _rand_words(rng, 1500) + list(sorted(oracle)[:500])
+    oracle.update(vals2)
+    ws.insert_rows_bulk([jnp_asarray(_rows(vals2))])
+    assert ws.count() == len(oracle)
+    assert limbs.to_py_ints(ws.words_array()) == sorted(oracle)
+    # bulk of nothing is a no-op
+    ws.insert_rows_bulk([])
+    assert ws.count() == len(oracle)
+
+
+def test_bulk_then_remove_then_query():
+    ws = DeviceWordSet(CFG)
+    rng = np.random.default_rng(8)
+    vals = _rand_words(rng, 4000)
+    oracle = set(vals)
+    ws.insert_rows_bulk([jnp_asarray(_rows(vals))])
+    gone = vals[:1000]
+    oracle -= set(gone)
+    ws.remove_words(_rows(gone))
+    assert ws.count() == len(oracle)
+    keep = sorted(oracle)
+    mask = np.asarray(ws.contains_words(_rows(keep + gone[:50])))
+    assert mask[: len(keep)].all()
+    # removed words may coincide with kept ones only if duplicated in vals
+    for i, g in enumerate(gone[:50]):
+        assert bool(mask[len(keep) + i]) == (g in oracle)
+
+
+def test_live_slice_tracks_shrink_and_growth():
+    # data allocation must track content: after a big build + count sync,
+    # later small merges must not re-sort the old high-water allocation
+    ws = DeviceWordSet(CFG)
+    rng = np.random.default_rng(9)
+    ws.insert_rows_bulk([jnp_asarray(_rows(_rand_words(rng, 60_000)))])
+    n1 = ws.count()
+    big_shape = ws.data.shape[0]
+    assert big_shape <= 2 * 65536
+    ws.insert_words(_rows(_rand_words(rng, 10)))
+    ws.flush()
+    assert ws.data.shape[0] <= max(2 * big_shape, 65536 * 2)
+    assert ws.count() >= n1
