@@ -262,7 +262,13 @@ class ShardedCBL:
         self.data = jax.device_put(
             jnp.full((self.D, self.C, self.L), _U32_MAX, dtype=jnp.uint32), sharding
         )
-        self.shard_counts = np.zeros(self.D, dtype=np.int64)
+        # Per-shard counts live on device; the host keeps a worst-case upper
+        # bound so the insert loop never blocks on a device->host sync
+        # (the tunnel round-trip is ~28ms — syncing per batch serializes the
+        # whole stream).  `shard_counts` materializes lazily.
+        self._counts_dev = None
+        self._counts_host: np.ndarray | None = np.zeros(self.D, dtype=np.int64)
+        self._count_upper = 0  # upper bound of max per-shard count
         # Range-partition boundaries [D-1, L]; default = uniform top-bit
         # splits, replaced by data quantiles on the first insert (necklace
         # distributions are heavily skewed toward small values).
@@ -297,7 +303,32 @@ class ShardedCBL:
 
     # --- word-level ops (device-batched) ---
 
+    @property
+    def shard_counts(self) -> np.ndarray:
+        """Exact per-shard counts (forces a device sync if one is pending)."""
+        if self._counts_host is None:
+            self._counts_host = np.asarray(self._counts_dev).astype(np.int64)
+            self._count_upper = int(self._counts_host.max())
+        return self._counts_host
+
+    @shard_counts.setter
+    def shard_counts(self, value) -> None:
+        self._counts_host = np.asarray(value).astype(np.int64)
+        self._counts_dev = None
+        self._count_upper = int(self._counts_host.max())
+
+    def _set_counts_dev(self, counts_dev, upper: int) -> None:
+        self._counts_dev = counts_dev
+        self._counts_host = None
+        self._count_upper = min(upper, self.C)
+
     def _ensure_capacity(self, incoming_per_shard: int) -> None:
+        need = self._count_upper + incoming_per_shard
+        if need <= self.C:
+            return
+        # the upper bound is pessimistic (it assumes every routed word was
+        # new and landed on one shard); sync the real counts before paying
+        # for a growth pass
         need = int(self.shard_counts.max()) + incoming_per_shard
         if need <= self.C:
             return
@@ -313,11 +344,13 @@ class ShardedCBL:
 
     def insert_words(self, words) -> None:
         """words: [N, L] host/device rows (sentinel rows ignored); they are
-        split evenly across devices, routed to owners, and merged."""
+        split evenly across devices, routed to owners, and merged.  The
+        update chain stays async on device; counts sync lazily."""
         words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
         self._maybe_init_boundaries(words)
         B = self.B
         bnd = jnp.asarray(self.boundaries)
+        sharding = NamedSharding(self.mesh, P(AXIS))
         for start in range(0, words.shape[0], self.D * B):
             batch = words[start : start + self.D * B]
             buf = np.full((self.D * B, self.L), _U32_MAX, dtype=np.uint32)
@@ -325,10 +358,9 @@ class ShardedCBL:
             # worst-case: every word in the exchange lands on one shard
             self._ensure_capacity(self.D * B)
             fn = _insert_step_fn(self.cfg, self.mesh, self.C, B)
-            sharding = NamedSharding(self.mesh, P(AXIS))
             dev_words = jax.device_put(buf.reshape(self.D, B, self.L), sharding)
             self.data, counts = fn(self.data, dev_words, bnd)
-            self.shard_counts = np.asarray(counts).astype(np.int64)
+            self._set_counts_dev(counts, self._count_upper + self.D * B)
 
     def contains_words(self, words) -> np.ndarray:
         words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
