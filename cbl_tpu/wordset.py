@@ -175,6 +175,43 @@ def _setop_sort_kernel(a, b, op: str, out_cap: int):
     return out, jnp.sum(keep.astype(jnp.int32))
 
 
+@jax.jit
+def _merge_sortmark_kernel(data, batch):
+    # (no donation: the output shape |data|+|batch| can never alias an input)
+    """Sorted-set union in ONE sort, deferring compaction: duplicate and
+    sentinel rows are overwritten with the sentinel IN PLACE, leaving a
+    'sorted with holes' array — valid rows ascending and unique, interspersed
+    with sentinel rows.  Holes are harmless to sort-joins and to further
+    merges (sentinels drop out of the next sort); paths that need a
+    contiguous prefix (binary search, radix windows, export) compact first
+    via `_compact_sort_kernel`.  Saves one full bitonic re-sort per merge —
+    the single largest cost of the build path."""
+    cat = jnp.concatenate([data, batch], axis=0)
+    s = sort_rows(cat)
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+    )
+    keep = _valid_mask(s) & ~prev_eq
+    s = jnp.where(keep[:, None], s, _U32_MAX)
+    return s, jnp.sum(keep.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+def _compact_sort_kernel(data, out_cap: int):
+    """Re-sort a 'sorted with holes' array so sentinels fall to the end,
+    then truncate/pad to out_cap.  Input rows are already unique."""
+    L = data.shape[-1]
+    s = sort_rows(data)
+    n = jnp.sum(_valid_mask(s).astype(jnp.int32))
+    total = s.shape[0]
+    if out_cap <= total:
+        out = s[:out_cap]
+    else:
+        pad = jnp.full((out_cap - total, L), _U32_MAX, dtype=jnp.uint32)
+        out = jnp.concatenate([s, pad], axis=0)
+    return out, n
+
+
 @partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
 def _merge_sortcompact_kernel(data, batch, out_cap: int):
     """Sorted-set union via two bitonic sorts and NO scatters/gathers.
@@ -398,7 +435,11 @@ class DeviceWordSet:
         # Invariant: data is sorted, duplicate-free, sentinel-padded, and its
         # length is the *live size* next_pow2(max(_n_upper, MIN_CAP)) — every
         # sort/join below costs O(live), never O(high-water capacity).
+        # When `_holes` is True, sentinel rows may be interspersed (valid rows
+        # still ascending and unique) and the array may be longer than the
+        # live size; `_compact()` restores the contiguous invariant.
         self.data = jnp.full((self.capacity, self.L), _U32_MAX, dtype=jnp.uint32)
+        self._holes = False
         self.pending_cap = pending_cap
         self.n_pending = 0
         self.pending = jnp.full((pending_cap, self.L), _U32_MAX, dtype=jnp.uint32)
@@ -418,9 +459,22 @@ class DeviceWordSet:
     def _live(self, floor: int = 1):
         """The prefix of `data` that can hold every valid row — all sorts,
         joins, and merges run over this slice so their cost tracks the actual
-        content, not the allocation."""
+        content, not the allocation.  With holes the whole array is live."""
+        if self._holes:
+            return self.data
         eff = min(self.data.shape[0], max(_next_pow2(max(self._n_upper, 1)), floor))
         return self.data if eff >= self.data.shape[0] else self.data[:eff]
+
+    def _compact(self) -> None:
+        """Restore the contiguous sorted invariant (one sort)."""
+        if not self._holes:
+            return
+        out_cap = max(_next_pow2(max(self._n_upper, 1)), MIN_CAP)
+        self.data, n_dev = _compact_sort_kernel(self.data, out_cap)
+        self.capacity = out_cap
+        self._holes = False
+        self._set_count(n_dev)
+        self._invalidate_index()
 
     # --- insert path ---
 
@@ -469,12 +523,24 @@ class DeviceWordSet:
         out_cap = max(_next_pow2(self._n_upper + n_new_upper), MIN_CAP)
         data = self._live()
         if os.environ.get("CBL_TPU_MERGE", "sort") == "scatter":
+            if self._holes:
+                self._compact()
+                data = self._live()
             self.data, n_dev = _merge_scatter_kernel(
                 data, rows, out_cap, rows_sorted
             )
+            self.capacity = out_cap
+        elif data.shape[0] + rows.shape[0] <= 2 * out_cap:
+            # one-sort merge, compaction deferred (holes)
+            self.data, n_dev = _merge_sortmark_kernel(data, rows)
+            self.capacity = self.data.shape[0]
+            self._holes = True
         else:
+            # hole fraction would exceed ~1/2: fold the compaction into this
+            # merge (two sorts) and reset the array to the live size
             self.data, n_dev = _merge_sortcompact_kernel(data, rows, out_cap)
-        self.capacity = out_cap
+            self.capacity = out_cap
+            self._holes = False
         self._invalidate_index()
         self._n_dev = n_dev
         self._n_host = None  # sync lazily
@@ -516,6 +582,7 @@ class DeviceWordSet:
         self.flush()
         if words.shape[0] >= _SORTJOIN_MIN_QUERIES:
             return _contains_sortjoin_kernel(self._live(), words)
+        self._compact()  # radix windows / binary search need contiguity
         if self._ensure_radix_index():
             return _contains_bucket_kernel(
                 self._live(),
@@ -530,9 +597,10 @@ class DeviceWordSet:
     def remove_words(self, words) -> None:
         self.flush()
         data = self._live()
-        out_cap = data.shape[0]
+        out_cap = max(_next_pow2(max(self._n_upper, 1)), MIN_CAP)
         self.data, n_dev = _setop_sort_kernel(data, words, "remove", out_cap)
         self.capacity = out_cap
+        self._holes = False  # set-op kernels re-sort and compact
         self._set_count(n_dev)
         self._invalidate_index()
 
@@ -643,6 +711,7 @@ class DeviceWordSet:
         out = DeviceWordSet(self.cfg, self.pending_cap)
         out.data = self._live_copy()
         out.capacity = out.data.shape[0]
+        out._holes = self._holes
         out._n_host = self.n
         out._n_upper = self.n
         return out
@@ -652,6 +721,7 @@ class DeviceWordSet:
     def words_array(self) -> np.ndarray:
         """[n, L] uint32 host array in ascending word order."""
         self.flush()
+        self._compact()
         return np.asarray(self.data[: self.n])
 
     def prefixes(self) -> np.ndarray:
@@ -659,6 +729,7 @@ class DeviceWordSet:
         from . import necklace
 
         self.flush()
+        self._compact()
         if self.n == 0:
             return np.zeros((0,), dtype=np.uint32)
         return np.asarray(necklace.word_prefix(self.data[: self.n], self.cfg))
