@@ -270,8 +270,13 @@ class CBL:
         total = int(valid.sum())
         self.wordset.flush()
         # batch the whole stream's words into one sort-join count per slab:
-        # cost is one tagged sort of (index + slab), independent of slab size
-        slab_rows = 1 << 23
+        # each slab pays one sort of (live index + slab), so the slab should
+        # be at least as large as the index (bounded for memory)
+        from .wordset import _next_pow2
+
+        slab_rows = min(
+            max(1 << 23, _next_pow2(max(self.wordset._n_upper, 1))), 1 << 26
+        )
         positive = 0
         pending: list = []
         n_pend = 0

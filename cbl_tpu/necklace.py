@@ -32,19 +32,20 @@ def necklace_pos(kmers, cfg: CBLConfig):
 
     necklace = min over p in [0, 2K) of rotl(kmer, p); pos = smallest
     argmin.  Oracle: `/root/reference/src/necklace/mod.rs:13-25`.
+
+    The rotation loop is UNROLLED (python loop, static trip count <= 117):
+    the chain is purely elementwise, so XLA fuses all ~2K steps into ONE
+    HBM pass over the batch, whereas a `fori_loop` re-materialises the
+    (rot, best, pos) carry in HBM every iteration.
     """
     W = cfg.kmer_bits
-
-    def body(p, carry):
-        rot, best, pos = carry
+    rot, best = kmers, kmers
+    pos = jnp.zeros(kmers.shape[:-1], dtype=jnp.uint32)
+    for p in range(1, W):
         rot = limbs.rotl1(rot, W)
         better = limbs.lt(rot, best)
         best = jnp.where(better[..., None], rot, best)
         pos = jnp.where(better, jnp.uint32(p), pos)
-        return rot, best, pos
-
-    pos0 = jnp.zeros(kmers.shape[:-1], dtype=jnp.uint32)
-    _, best, pos = jax.lax.fori_loop(1, W, body, (kmers, kmers, pos0))
     return best, pos
 
 

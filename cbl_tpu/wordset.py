@@ -239,80 +239,81 @@ def _merge_sortcompact_kernel(data, batch, out_cap: int):
     return out, jnp.sum(keep.astype(jnp.int32))
 
 
-def _run_has_data(s, is_data):
-    """After a tagged sort where the (unique) data row of each equal-word run
-    sorts FIRST: per-row bool 'my run contains a data row'.
+def _sortjoin_hits(sorted_cols, is_data):
+    """Per-row bool: 'this row's equal-word run contains a data row' —
+    computed from the L sorted key COLUMNS (never materialising [N, L] rows)
+    and without requiring the data row to sort first in its run.
 
     Segmented broadcast WITHOUT a custom-combiner scan (associative_scan
     builds a log-depth slice/concat HLO program — slow to compile and run at
-    10M+ rows).  Runs get increasing ids by cumsum; a run's data row (its
-    first element) publishes the id, cummax carries it forward; equality
-    recovers the flag."""
-    run_start = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), ~limbs.eq(s[1:], s[:-1])]
+    10M+ rows): runs get increasing 1-based ids by cumsum; data rows publish
+    their run id; a forward cummax covers rows after the data row, a reverse
+    cummin (ids increase, so the smallest id at-or-after me is my own run's)
+    covers rows before it.  Also returns the per-row valid (non-sentinel)
+    mask."""
+    L = len(sorted_cols)
+    neq = sorted_cols[0][1:] != sorted_cols[0][:-1]
+    valid_inv = sorted_cols[0] == _U32_MAX
+    for l in range(1, L):
+        neq = neq | (sorted_cols[l][1:] != sorted_cols[l][:-1])
+        valid_inv = valid_inv & (sorted_cols[l] == _U32_MAX)
+    run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
+    run_id = jnp.cumsum(run_start.astype(jnp.int32))
+    fwd = jax.lax.cummax(jnp.where(is_data, run_id, 0))
+    bwd = jax.lax.cummin(
+        jnp.where(is_data, run_id, jnp.int32(2**31 - 1)), reverse=True
     )
-    run_id = jnp.cumsum(run_start.astype(jnp.int32))  # 1-based
-    seeded = jnp.where(run_start & is_data, run_id, 0)
-    return jax.lax.cummax(seeded) == run_id
+    return ((fwd == run_id) | (bwd == run_id)), ~valid_inv
 
 
 @jax.jit
 def _count_hits_kernel(data, queries):
-    """Number of (valid) query rows present in sorted `data`, via a tagged
-    sort-join: cost is ONE bitonic sort of C+Q regardless of Q — far cheaper
-    than per-query random access for large query batches (TPU random gathers
-    run ~20x slower than streaming sorts).
-
-    Within each run of equal words the (unique) data row sorts first; a
-    segmented broadcast marks the query rows of the run as hits.
+    """Number of (valid) query rows present in sorted `data`, via a sort-join:
+    cost is ONE bitonic sort of C+Q regardless of Q — far cheaper than
+    per-query random access for large query batches (TPU random gathers run
+    ~20x slower than streaming sorts).  The data/query tag rides along as a
+    PAYLOAD column (not a sort key): the segmented broadcast finds the data
+    row anywhere in its run, so the comparator stays L keys wide.
     """
     L = data.shape[-1]
     rows = jnp.concatenate([data, queries], axis=0)
     tag = jnp.concatenate(
         [
-            jnp.zeros((data.shape[0],), jnp.uint32),  # data first among equals
-            jnp.ones((queries.shape[0],), jnp.uint32),
+            jnp.ones((data.shape[0],), jnp.uint32),
+            jnp.zeros((queries.shape[0],), jnp.uint32),
         ]
     )
     ops = tuple(rows[:, l] for l in range(L)) + (tag,)
-    sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
-    s = jnp.stack(sorted_ops[:L], axis=-1)
-    is_data = sorted_ops[L] == 0
-    valid = _valid_mask(s)
-    hits = (~is_data) & _run_has_data(s, is_data) & valid
+    sorted_ops = jax.lax.sort(ops, num_keys=L)
+    is_data = sorted_ops[L] == 1
+    has_data, valid = _sortjoin_hits(sorted_ops[:L], is_data)
+    hits = (~is_data) & has_data & valid
     return jnp.sum(hits.astype(jnp.int32))
 
 
 @jax.jit
 def _contains_sortjoin_kernel(data, queries):
-    """Ordered membership via tagged sort-join + result scatter.
+    """Ordered membership via sort-join.
 
     Like `_count_hits_kernel` but carries each query's original position as
-    a payload column and scatters per-query hits back — one sort of C+Q plus
-    one Q-sized scatter, vs Q*window random gathers for the radix path.
-    Wins for large query batches."""
+    the (single) payload column — data rows carry position Q, which doubles
+    as the data tag.  One L-key sort of C+Q, then a cheap 1-key un-sort.
+    Wins over the radix-window path for large query batches."""
     L = data.shape[-1]
     Q = queries.shape[0]
     rows = jnp.concatenate([data, queries], axis=0)
-    tag = jnp.concatenate(
-        [
-            jnp.zeros((data.shape[0],), jnp.uint32),
-            jnp.ones((Q,), jnp.uint32),
-        ]
-    )
     idx = jnp.concatenate(
         [
-            jnp.full((data.shape[0],), Q, dtype=jnp.int32),  # dropped
+            jnp.full((data.shape[0],), Q, dtype=jnp.int32),  # data tag
             jnp.arange(Q, dtype=jnp.int32),
         ]
     )
-    ops = tuple(rows[:, l] for l in range(L)) + (tag, idx)
-    sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
-    s = jnp.stack(sorted_ops[:L], axis=-1)
-    is_data = sorted_ops[L] == 0
-    qidx = sorted_ops[L + 1]
-    valid = _valid_mask(s)
-    hits = (~is_data) & _run_has_data(s, is_data) & valid
+    ops = tuple(rows[:, l] for l in range(L)) + (idx,)
+    sorted_ops = jax.lax.sort(ops, num_keys=L)
+    qidx = sorted_ops[L]
+    is_data = qidx == Q
+    has_data, valid = _sortjoin_hits(sorted_ops[:L], is_data)
+    hits = (~is_data) & has_data & valid
     # un-sort by a cheap 1-key sort on the position payload (data rows carry
     # position Q and fall off the end) — scatters would cost O(C+Q) updates
     _, ordered = jax.lax.sort((qidx, hits.astype(jnp.uint32)), num_keys=1)
