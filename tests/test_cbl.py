@@ -236,3 +236,20 @@ def test_insert_codes_stream_multi_slab(monkeypatch):
     ta, tb = a.query_codes_stream(codes, offsets), b.query_codes_stream(codes, offsets)
     assert ta == tb
     assert ta[0] == ta[1]
+
+
+def test_remove_codes_stream_and_contains_seqs():
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 4, size=20_000, dtype=np.uint8)
+    offsets = np.array([0, 10_000, 20_000], dtype=np.int64)
+    idx = CBL(k=25, chunk_size=4096)
+    idx.insert_codes_stream(codes, offsets)
+    n0 = idx.count()
+    # remove the first record's k-mers
+    idx.remove_codes_stream(codes[:10_000], np.array([0, 10_000], dtype=np.int64))
+    t, p = idx.query_codes_stream(codes, offsets)
+    assert idx.count() < n0
+    # second record still fully present (minus any k-mers shared with rec 1)
+    seq2 = bytes(b"ACTG"[c] for c in codes[10_000:])
+    masks = idx.contains_seqs([seq2])
+    assert len(masks) == 1 and len(masks[0]) == 10_000 - 24
