@@ -114,6 +114,51 @@ def _insert_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
 
 
 @lru_cache(maxsize=None)
+def _remove_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
+    """jitted ([D, C, L] state, [D, B, L] words, boundaries) -> new state +
+    per-shard counts.  Same routing as the insert step; the local fold is the
+    tagged-sort set difference (wordset._setop_sort_kernel 'remove'
+    semantics): batch rows sort FIRST among equal words, so a data row whose
+    predecessor equals it is scheduled for removal."""
+    D = mesh.devices.size
+    L = cfg.word_limbs
+
+    def local_step(data, words, boundaries):
+        data = data[0]
+        words = words[0]
+        owner = _owner_of(words, boundaries)
+        send = _bucket_by_owner(words, owner, D, B)
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=True)
+        batch = recv.reshape(D * B, L)
+        rows = jnp.concatenate([data, batch], axis=0)
+        tag = jnp.concatenate(
+            [
+                jnp.ones((data.shape[0],), jnp.uint32),
+                jnp.zeros((batch.shape[0],), jnp.uint32),
+            ]
+        )
+        ops = tuple(rows[:, l] for l in range(L)) + (tag,)
+        sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
+        s = jnp.stack(sorted_ops[:L], axis=-1)
+        is_data = sorted_ops[L] == 1
+        prev_eq = jnp.concatenate(
+            [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+        )
+        keep = _valid_mask(s) & is_data & ~prev_eq
+        s = jnp.where(keep[:, None], s, jnp.uint32(0xFFFFFFFF))
+        s = sort_rows(s)
+        return s[None, :C], jnp.sum(keep.astype(jnp.int32))[None]
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
 def _contains_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
     """jitted ([D, C, L] state, [D, B, L] queries, boundaries) -> [D, B] hit
     mask, with results routed back to the querying device in original order."""
@@ -362,6 +407,22 @@ class ShardedCBL:
             self.data, counts = fn(self.data, dev_words, bnd)
             self._set_counts_dev(counts, self._count_upper + self.D * B)
 
+    def remove_words(self, words) -> None:
+        """Remove [N, L] word rows (sentinel rows and absent words are
+        no-ops), routed to owner shards like the insert path."""
+        words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
+        B = self.B
+        bnd = jnp.asarray(self.boundaries)
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        fn = _remove_step_fn(self.cfg, self.mesh, self.C, B)
+        for start in range(0, words.shape[0], self.D * B):
+            batch = words[start : start + self.D * B]
+            buf = np.full((self.D * B, self.L), _U32_MAX, dtype=np.uint32)
+            buf[: batch.shape[0]] = batch
+            dev_words = jax.device_put(buf.reshape(self.D, B, self.L), sharding)
+            self.data, counts = fn(self.data, dev_words, bnd)
+            self._set_counts_dev(counts, self._count_upper)
+
     def contains_words(self, words) -> np.ndarray:
         words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
         out = []
@@ -494,6 +555,23 @@ class ShardedCBL:
     def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         for words in self._words_of_codes(codes, offsets):
             self.insert_words(words)
+
+    def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
+        """Remove every k-mer of the record stream (distributed analog of
+        `CBL.remove_codes_stream` / reference `remove_seq`)."""
+        for words in self._words_of_codes(codes, offsets):
+            self.remove_words(words)
+
+    def query_codes_stream(self, codes: np.ndarray, offsets: np.ndarray):
+        """(total k-mers, positive k-mers) over the record stream — the
+        distributed counting query (CLI `query` contract)."""
+        total = 0
+        positive = 0
+        for words in self._words_of_codes(codes, offsets):
+            valid = ~np.all(words == _U32_MAX, axis=-1)
+            total += int(valid.sum())
+            positive += self.count_hits(words)
+        return total, positive
 
     @classmethod
     def from_cbl(cls, cbl, mesh: Mesh | None = None, **kw) -> "ShardedCBL":

@@ -119,6 +119,52 @@ def test_sharded_set_algebra(mesh):
     assert inter.count() == (sa & sb).count()
 
 
+def test_sharded_remove(mesh):
+    # distributed remove: route to owner shards + local tagged-sort diff;
+    # must match the single-device remove exactly
+    from cbl_tpu.kmer import encode_seq
+
+    s1 = _random_nucs(8_000, seed=60)
+    s2 = _random_nucs(2_000, seed=61)  # disjoint stream: remove is a no-op
+    x = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    c1, c2 = encode_seq(s1), encode_seq(s2)
+    x.insert_codes_stream(c1, np.array([0, len(c1)]))
+    single = CBL(k=25)
+    single.insert_seq(s1)
+
+    # remove half of the stored words (mixed with absent words + sentinels)
+    stored = single.wordset.words_array()
+    to_remove = stored[::2]
+    x.remove_words(to_remove)
+    single.wordset.remove_words(jax.numpy.asarray(to_remove))
+    assert x.count() == single.count()
+    np.testing.assert_array_equal(x.words_array(), single.wordset.words_array())
+
+    # removing absent words changes nothing
+    before = x.count()
+    x.remove_codes_stream(c2, np.array([0, len(c2)]))
+    single.remove_codes_stream(c2, np.array([0, len(c2)], dtype=np.int64))
+    assert x.count() == single.count() == before - (before - single.count())
+    np.testing.assert_array_equal(x.words_array(), single.wordset.words_array())
+
+
+def test_sharded_query_codes_stream(mesh):
+    from cbl_tpu.kmer import encode_seq
+
+    s1 = _random_nucs(6_000, seed=62)
+    s2 = _random_nucs(3_000, seed=63)
+    x = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    c1, c2 = encode_seq(s1), encode_seq(s2)
+    x.insert_codes_stream(c1, np.array([0, len(c1)]))
+    single = CBL(k=25)
+    single.insert_seq(s1)
+    mixed = np.concatenate([c1[:3000], c2])
+    offs = np.array([0, 3000, 3000 + len(c2)], dtype=np.int64)
+    got = x.query_codes_stream(mixed, offs)
+    expect = single.query_codes_stream(mixed, offs)
+    assert got == expect
+
+
 def test_to_cbl_roundtrip(mesh):
     seq = _random_nucs(5_000, seed=5)
     from cbl_tpu.kmer import encode_seq
