@@ -104,3 +104,44 @@ def test_unpack_roundtrip():
     out = np.asarray(kmer.unpack_bases(km, cfg))
     for i in range(out.shape[0]):
         np.testing.assert_array_equal(out[i], codes[i : i + cfg.k])
+
+
+def test_neighborhood_ops():
+    # `/root/reference/src/kmer.rs:61-90`: append/prepend/extend semantics,
+    # successors/predecessors as the 4 append/prepend images
+    rng = np.random.default_rng(7)
+    for k in (5, 25, 59):
+        mask = (1 << (2 * k)) - 1
+        for _ in range(50):
+            v = int(rng.integers(0, 1 << 31)) & mask
+            codes = kmer.int_to_codes(v, k)
+            for b in range(4):
+                # extend keeps all bases; append is the k-window slide
+                assert kmer.extend_kmer(v, b) == (v << 2) | b
+                ap = kmer.append_kmer(v, b, k)
+                assert ap == kmer.kmer_to_int(
+                    np.concatenate([codes[1:], [b]])
+                )
+                pp = kmer.prepend_kmer(v, b, k)
+                assert pp == kmer.kmer_to_int(np.concatenate([[b], codes[:-1]]))
+            assert kmer.successors(v, k) == [
+                kmer.append_kmer(v, b, k) for b in range(4)
+            ]
+            assert kmer.predecessors(v, k) == [
+                kmer.prepend_kmer(v, b, k) for b in range(4)
+            ]
+            # append and prepend are mutually inverse along an edge
+            for b in range(4):
+                y = kmer.append_kmer(v, b, k)
+                assert v in kmer.predecessors(y, k)
+                assert y in kmer.successors(v, k)
+
+
+def test_consecutive_kmers_are_graph_edges():
+    # every consecutive k-mer pair of a sequence is a successor edge
+    k = 11
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, 4, size=60, dtype=np.uint8)
+    ints = [kmer.kmer_to_int(codes[i : i + k]) for i in range(len(codes) - k + 1)]
+    for x, y in zip(ints, ints[1:]):
+        assert y in kmer.successors(x, k)
