@@ -49,14 +49,16 @@ def _stream_len(chunk: int, k: int) -> int:
     return (raw + 15) // 16 * 16
 
 
-def _use_pallas() -> bool:
+def _use_pallas() -> str:
+    """Necklace kernel selector: "" = XLA chain, "1" = pallas v1 ([L, B]
+    blocks), "2" = pallas v2 (full-tile per-limb layout)."""
     import os
 
-    return os.environ.get("CBL_TPU_PALLAS", "") == "1"
+    return os.environ.get("CBL_TPU_PALLAS", "")
 
 
 @lru_cache(maxsize=None)
-def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int, pallas: bool = False):
+def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int, pallas: str = ""):
     """stream [S/16] uint32 (16 packed bases/word), validbits [chunk/8] uint8
     (np.packbits) -> words [chunk, L] (invalid rows = sentinel).  One fused
     XLA program per (config, mode, chunk); inputs are bit-packed host-side to
@@ -66,7 +68,11 @@ def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int, pallas: bool = Fal
         kmers = kmod.extract_kmers(stream, chunk, cfg)
         if canonical:
             kmers, _ = kmod.canonicalize(kmers, cfg)
-        if pallas:
+        if pallas == "2":
+            from .ops.necklace_pallas import necklace_pos_pallas2
+
+            best, pos = necklace_pos_pallas2(kmers, cfg)
+        elif pallas == "1":
             from .ops.necklace_pallas import necklace_pos_pallas
 
             best, pos = necklace_pos_pallas(kmers, cfg)

@@ -205,7 +205,13 @@ def _count_hits_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
     locally with the sort-join kernel, psum the counts."""
     D = mesh.devices.size
     L = cfg.word_limbs
-    from ..wordset import _count_hits_kernel
+    from ..wordset import _count_hits_kernel, _count_hits_kernel_packed
+
+    count_kernel = (
+        _count_hits_kernel_packed
+        if cfg.n_bits <= 32 * L - 2
+        else _count_hits_kernel
+    )
 
     def local_step(data, words, boundaries):
         data = data[0]
@@ -213,7 +219,7 @@ def _count_hits_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
         owner = _owner_of(words, boundaries)
         send = _bucket_by_owner(words, owner, D, B)
         recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=True)
-        local = _count_hits_kernel(data, recv.reshape(D * B, L))
+        local = count_kernel(data, recv.reshape(D * B, L))
         return jax.lax.psum(local, AXIS)[None]
 
     step = jax.shard_map(
