@@ -205,13 +205,22 @@ class CBL:
         k-mers per record; k-mers never span records)."""
         k = self.cfg.k
         nk = max(len(codes) - k + 1, 0)
-        valid = np.ones(nk, dtype=bool)
-        for b in offsets[1:-1]:
-            valid[max(b - k + 1, 0) : min(b, nk)] = False
-        # short trailing record
+        if nk == 0:
+            return np.zeros(0, dtype=bool)
+        # vectorized interval blanking (inputs can have millions of records):
+        # each interior boundary b blanks starts [b-k+1, b); accumulate the
+        # intervals as +1/-1 deltas and mark covered positions by prefix sum
+        b = np.asarray(offsets[1:-1], dtype=np.int64)
+        starts = np.clip(b - k + 1, 0, nk)
+        ends = np.clip(b, 0, nk)
+        # short trailing record: no k-mer may start inside it
         if len(offsets) >= 2 and offsets[-1] - offsets[-2] < k:
-            valid[max(offsets[-2] - k + 1, 0) : nk] = False
-        return valid
+            starts = np.append(starts, max(offsets[-2] - k + 1, 0))
+            ends = np.append(ends, nk)
+        delta = np.zeros(nk + 1, dtype=np.int64)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+        return np.cumsum(delta[:nk]) == 0
 
     def _stream_words(self, codes: np.ndarray, valid: np.ndarray):
         chunk = self._effective_chunk(len(valid))
