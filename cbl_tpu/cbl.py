@@ -180,24 +180,41 @@ class CBL:
         if total_kmers <= 0:
             return min(self.chunk, 4096)
         tier = 1 << max(total_kmers - 1, 1).bit_length()
-        return max(min(self.chunk, tier), 4096)
+        eff = max(min(self.chunk, tier), 4096)
+        # chunk windows must fall on 16-base packed-word boundaries
+        return (eff + 15) // 16 * 16
 
     def _stream_chunks(self, codes: np.ndarray, valid: np.ndarray, chunk: int):
         """Yield (stream [S/16] u32, validbits [chunk/8] u8, valid [chunk],
-        n_kmers) windows; both device inputs are bit-packed host-side."""
+        n_kmers) windows; both device inputs are bit-packed host-side.
+
+        The whole code/valid stream is packed ONCE (vectorized) and chunk
+        windows are word-aligned slices of it — chunk sizes are powers of two
+        >= 4096, so every chunk boundary falls on a 16-base word boundary and
+        an 8-k-mer byte boundary.  Per-chunk host cost drops from
+        alloc+copy+pack to two slice views."""
         k = self.cfg.k
         S = _stream_len(chunk, k)
         total = len(valid)
-        for start in range(0, max(total, 1), chunk):
+        if total <= 0:
+            return
+        n_chunks = (total + chunk - 1) // chunk
+        cbuf = np.zeros((n_chunks - 1) * chunk + S, dtype=np.uint8)
+        cbuf[: len(codes)] = codes[: len(cbuf)]
+        packed = kmod.np_pack_stream(cbuf)
+        vfull = np.zeros(n_chunks * chunk, dtype=bool)
+        vfull[:total] = valid
+        vbits_all = np.packbits(vfull)
+        nw = S // 16
+        for i in range(n_chunks):
+            start = i * chunk
             n = min(chunk, total - start)
-            if n <= 0:
-                break
-            cbuf = np.zeros(S, dtype=np.uint8)
-            cseg = codes[start : start + chunk + k - 1]
-            cbuf[: len(cseg)] = cseg
-            vbuf = np.zeros(chunk, dtype=bool)
-            vbuf[:n] = valid[start : start + n]
-            yield kmod.np_pack_stream(cbuf), np.packbits(vbuf), vbuf, n
+            yield (
+                packed[start // 16 : start // 16 + nw],
+                vbits_all[start // 8 : start // 8 + chunk // 8],
+                vfull[start : start + chunk],
+                n,
+            )
 
     def _stream_valid(self, codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """Valid-start mask for a concatenated record stream: a k-mer is

@@ -69,11 +69,32 @@ def _load_native():
         lib.fastx_parse.restype = ctypes.POINTER(_Result)
         lib.fastx_parse.argtypes = [ctypes.c_char_p]
         lib.fastx_free.argtypes = [ctypes.POINTER(_Result)]
+        lib.cbl_pack_stream.restype = None
+        lib.cbl_pack_stream.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ]
         _native = lib
-    except OSError:  # pragma: no cover
+    except (OSError, AttributeError):  # pragma: no cover
         _native_failed = True
         _native = None
     return _native
+
+
+def pack_stream_native(codes) -> "np.ndarray | None":
+    """Native 16-bases/uint32 big-endian pack (see cbl_pack_stream in
+    fastx.cpp); None when the native library is unavailable."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    import numpy as np
+
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    assert len(codes) % 16 == 0
+    out = np.empty(len(codes) // 16, dtype=np.uint32)
+    lib.cbl_pack_stream(
+        codes.ctypes.data, np.uint64(len(codes)), out.ctypes.data
+    )
+    return out
 
 
 def parse_fastx(path) -> tuple[np.ndarray, np.ndarray]:

@@ -175,4 +175,20 @@ void fastx_free(Result* res) {
   free(res);
 }
 
+// Pack a 2-bit code stream 16 bases/uint32, base s at bits
+// [30 - 2*(s%16), 32 - 2*(s%16)) of word s/16 (big-endian bases) — the
+// device input layout of cbl_tpu.kmer.pack_stream.  n must be a multiple
+// of 16.  The inner loop auto-vectorizes under -O3 -march=native; this
+// replaces a strided-numpy pack that dominated the host side of the
+// insert/query stream path.
+void cbl_pack_stream(const uint8_t* codes, uint64_t n, uint32_t* out) {
+  const uint64_t nw = n / 16;
+  for (uint64_t w = 0; w < nw; ++w) {
+    const uint8_t* c = codes + w * 16;
+    uint32_t v = 0;
+    for (int j = 0; j < 16; ++j) v = (v << 2) | (uint32_t)c[j];
+    out[w] = v;
+  }
+}
+
 }  // extern "C"

@@ -55,8 +55,15 @@ def decode_codes(codes: np.ndarray) -> bytes:
 
 
 def np_pack_stream(codes: np.ndarray) -> np.ndarray:
-    """Host-side `pack_stream` (numpy): [S] uint8 codes (S%16==0) -> [S/16]
-    uint32.  Packing on host cuts host->device transfer 8x."""
+    """Host-side `pack_stream`: [S] uint8 codes (S%16==0) -> [S/16] uint32.
+    Packing on host cuts host->device transfer 8x.  Uses the native C++
+    packer (io/native/fastx.cpp: cbl_pack_stream, SIMD-vectorized) with a
+    numpy fallback."""
+    from . import io as _io
+
+    out = _io.pack_stream_native(codes)
+    if out is not None:
+        return out
     c = codes.reshape(-1, BASES_PER_WORD).astype(np.uint32)
     word = np.zeros(c.shape[0], dtype=np.uint32)
     for j in range(BASES_PER_WORD):
