@@ -384,6 +384,79 @@ def _count_hits_kernel_packed(data, queries):
     return jnp.sum(hits.astype(jnp.int32))
 
 
+def _lt_cols(a_cols, b_cols):
+    """Lexicographic less-than over parallel column lists (limb-major)."""
+    L = len(a_cols)
+    res = a_cols[L - 1] < b_cols[L - 1]
+    for l in range(L - 2, -1, -1):
+        res = (a_cols[l] < b_cols[l]) | ((a_cols[l] == b_cols[l]) & res)
+    return res
+
+
+def _bitonic_merge_cols(cols):
+    """Sort a BITONIC sequence (ascending run followed by a descending run),
+    given as L parallel [N] columns with N a power of two: log2(N) elementwise
+    compare-exchange stages, no gathers/scatters.  This is the missing 'merge
+    two sorted arrays' primitive of lax.sort — O(N log N) work instead of a
+    full re-sort's O(N log^2 N), and every stage is a streaming HBM pass."""
+    N = cols[0].shape[0]
+    s = N // 2
+    while s >= 1:
+        shaped = [c.reshape(-1, 2, s) for c in cols]
+        a = [c[:, 0, :] for c in shaped]
+        b = [c[:, 1, :] for c in shaped]
+        swap = _lt_cols(b, a)
+        cols = [
+            jnp.stack(
+                [jnp.where(swap, y, x), jnp.where(swap, x, y)], axis=1
+            ).reshape(N)
+            for x, y in zip(a, b)
+        ]
+        s //= 2
+    return cols
+
+
+@jax.jit
+def _count_hits_merge_kernel(data, queries):
+    """Counting join that exploits the index's sort order: sort ONLY the
+    queries (tag packed into the key's low bit, as in
+    `_count_hits_kernel_packed`), then bitonic-merge the two sorted runs in
+    log2(C+Q) elementwise passes.  Replaces the full (C+Q) re-sort — the
+    single most expensive kernel of the query path.  Requires
+    n_bits + 1 <= 32*L - 1 (caller checks)."""
+    C, L = data.shape
+    Q = queries.shape[0]
+    one = jnp.uint32(1)
+    d = limbs.shift_left(data, 1)
+    d = d.at[:, L - 1].set(d[:, L - 1] | one)
+    q = limbs.shift_left(queries, 1)
+    qs = jax.lax.sort(tuple(q[:, l] for l in range(L)), num_keys=L)
+    if L == 1 and not isinstance(qs, (tuple, list)):
+        qs = (qs,)
+    N = _next_pow2(C + Q)
+    pad = N - C - Q
+    cols = []
+    for l in range(L):
+        parts = [d[:, l]]
+        if pad:
+            parts.append(jnp.full((pad,), _U32_MAX, dtype=jnp.uint32))
+        parts.append(qs[l][::-1])  # descending -> asc ++ pad ++ desc is bitonic
+        cols.append(jnp.concatenate(parts))
+    s = _bitonic_merge_cols(cols)
+    is_data = (s[L - 1] & one) == one
+    valid = s[0] != _U32_MAX
+    neq = (s[L - 1][1:] >> 1) != (s[L - 1][:-1] >> 1)
+    for l in range(L - 1):
+        neq = neq | (s[l][1:] != s[l][:-1])
+    run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
+    run_id = jnp.cumsum(run_start.astype(jnp.int32))
+    bwd = jax.lax.cummin(
+        jnp.where(is_data, run_id, jnp.int32(2**31 - 1)), reverse=True
+    )
+    hits = (~is_data) & (bwd == run_id) & valid
+    return jnp.sum(hits.astype(jnp.int32))
+
+
 @jax.jit
 def _contains_sortjoin_kernel(data, queries):
     """Ordered membership via sort-join.
@@ -650,9 +723,16 @@ class DeviceWordSet:
     def count_hits(self, words) -> int:
         """Number of stored words among `words` (sentinel rows ignored) —
         the counting query path (CLI query / contains_all)."""
+        import os
+
         self.flush()
         if self.cfg.n_bits <= 32 * self.L - 2:
-            return int(_count_hits_kernel_packed(self._live(), words))
+            if os.environ.get("CBL_TPU_JOIN") == "sort":
+                return int(_count_hits_kernel_packed(self._live(), words))
+            # bitonic-merge join exploits the index's sort order; needs the
+            # contiguous (hole-free) invariant
+            self._compact()
+            return int(_count_hits_merge_kernel(self._live(), words))
         return int(_count_hits_kernel(self._live(), words))
 
     def _invalidate_index(self) -> None:
