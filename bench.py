@@ -56,7 +56,7 @@ def run_tpu(codes: np.ndarray, chunk: int, pending_cap: int, repeats: int = 2):
 
     offsets = np.array([0, len(codes)], dtype=np.int64)
     best = None
-    for _ in range(repeats):  # first repeat absorbs compiles; keep the best
+    for r_i in range(repeats):  # first repeat absorbs compiles; keep the best
         idx = CBL(k=25, chunk_size=chunk, pending_cap=pending_cap)
         t0 = time.time()
         idx.insert_codes_stream(codes, offsets)
@@ -71,6 +71,8 @@ def run_tpu(codes: np.ndarray, chunk: int, pending_cap: int, repeats: int = 2):
             "insert_s": t1 - t0,
             "query_s": t2 - t1,
         }
+        print(f"  repeat {r_i}: insert {r['insert_s']:.3f}s "
+              f"query {r['query_s']:.3f}s", file=sys.stderr)
         if best is None or (r["insert_s"] + r["query_s"]) < (
             best["insert_s"] + best["query_s"]
         ):
@@ -80,11 +82,11 @@ def run_tpu(codes: np.ndarray, chunk: int, pending_cap: int, repeats: int = 2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bases", type=int, default=8_000_000)
+    ap.add_argument("--bases", type=int, default=32_000_000)
     ap.add_argument("--chunk", type=int, default=1 << 19)
     ap.add_argument("--pending-cap", type=int, default=1 << 21)
     ap.add_argument("--platform", default=None, help="e.g. cpu (default: real chip)")
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 

@@ -88,6 +88,106 @@ def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int, pallas: str = ""):
     return jax.jit(run)
 
 
+# --- fused whole-stream path -------------------------------------------------
+#
+# The chunked pipeline above pays one device dispatch per chunk; over the
+# remote-TPU tunnel each dispatch costs ~ms-scale latency, which dominated the
+# round-1 build/query wall time (pipeline compute itself was ~0.2ms/chunk).
+# The fused path runs the ENTIRE stream slab (up to 2^25 k-mers) as ONE XLA
+# program: extract -> (canonicalize) -> necklace -> pack -> record-boundary
+# blanking -> sort (+ distinct count) for builds, or -> join for queries.
+# The valid mask is computed ON DEVICE from blank intervals (host transfers
+# only the packed 2-bit stream + interval endpoints, not per-k-mer masks).
+
+_FUSED_SLAB = 1 << 25  # max k-mers per fused device program
+
+
+def _device_words(stream, starts, ends, nk_pad: int, cfg: CBLConfig,
+                  canonical: bool, pallas: str):
+    """On-device pipeline: packed stream -> ([nk_pad, L] packed words with
+    blanked rows = sentinel, n_valid scalar).
+
+    starts/ends: int32 interval endpoints of INVALID k-mer start positions
+    (record-boundary halos per `/root/reference/src/cbl.rs:239-243` semantics,
+    short trailing records, and the padded tail); rows covered by at least
+    one interval are blanked.  Padding entries use index nk_pad + 1 (dropped).
+    """
+    kmers = kmod.extract_kmers(stream, nk_pad, cfg)
+    if canonical:
+        kmers, _ = kmod.canonicalize(kmers, cfg)
+    if pallas == "2":
+        from .ops.necklace_pallas import necklace_pos_pallas2
+
+        best, pos = necklace_pos_pallas2(kmers, cfg)
+    elif pallas == "1":
+        from .ops.necklace_pallas import necklace_pos_pallas
+
+        best, pos = necklace_pos_pallas(kmers, cfg)
+    else:
+        best, pos = necklace.necklace_pos(kmers, cfg)
+    words = necklace.pack_word(best, pos, cfg)
+    delta = (
+        jnp.zeros((nk_pad + 1,), jnp.int32)
+        .at[starts].add(1, mode="drop")
+        .at[ends].add(-1, mode="drop")
+    )
+    blanked = jnp.cumsum(delta)[:nk_pad] > 0
+    words = jnp.where(blanked[:, None], _U32_MAX, words)
+    n_valid = jnp.sum((~blanked).astype(jnp.int32))
+    return words, n_valid
+
+
+@lru_cache(maxsize=None)
+def _fused_build_fn(cfg: CBLConfig, canonical: bool, nk_pad: int, pallas: str):
+    """(stream, starts, ends) -> (sorted words [nk_pad, L], n_distinct).
+
+    The output keeps duplicate rows (sorted ascending, sentinels last) —
+    one sort instead of two; `DeviceWordSet.adopt_built` tracks the `_dups`
+    flag and dedups lazily when an op needs uniqueness."""
+    from .wordset import sort_rows, _valid_mask
+
+    def run(stream, starts, ends):
+        words, _ = _device_words(stream, starts, ends, nk_pad, cfg,
+                                 canonical, pallas)
+        s = sort_rows(words)
+        prev_eq = jnp.concatenate(
+            [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+        )
+        distinct = _valid_mask(s) & ~prev_eq
+        return s, jnp.sum(distinct.astype(jnp.int32))
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _fused_words_fn(cfg: CBLConfig, canonical: bool, nk_pad: int, pallas: str):
+    """(stream, starts, ends) -> (words [nk_pad, L] unsorted, n_valid)."""
+
+    def run(stream, starts, ends):
+        return _device_words(stream, starts, ends, nk_pad, cfg, canonical,
+                             pallas)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _fused_query_fn(cfg: CBLConfig, canonical: bool, nk_pad: int, pallas: str,
+                    use_merge: bool):
+    """(stream, starts, ends, data) -> (total, positive) device scalars."""
+    from .wordset import _count_hits_kernel, _count_hits_merge_kernel
+
+    def run(stream, starts, ends, data):
+        words, n_valid = _device_words(stream, starts, ends, nk_pad, cfg,
+                                       canonical, pallas)
+        if use_merge:
+            positive = _count_hits_merge_kernel(data, words)
+        else:
+            positive = _count_hits_kernel(data, words)
+        return n_valid, positive
+
+    return jax.jit(run)
+
+
 @lru_cache(maxsize=None)
 def _kmer_word_fn(cfg: CBLConfig, canonical: bool):
     """[N, L] k-mer limbs -> [N, L] packed words (point-op path,
@@ -262,65 +362,123 @@ class CBL:
 
     # --- streaming fast path (feeds straight from io.parse_fastx) ---
 
-    # ~16M rows/slab: one bulk merge per slab keeps peak HBM bounded while
-    # the per-row merge cost stays ~2 sorts of the slab + live index.
-    _BULK_SLAB_ROWS = 1 << 24
+    def _blank_intervals(self, offsets, nk: int):
+        """[start, end) intervals of k-mer start positions that must be
+        blanked: record-boundary halos (k-mers never span records) and short
+        trailing records.  Mirrors `_stream_valid` (host mask) as interval
+        endpoints suitable for on-device reconstruction."""
+        k = self.cfg.k
+        b = np.asarray(offsets[1:-1], dtype=np.int64)
+        starts = np.clip(b - k + 1, 0, nk)
+        ends = np.clip(b, 0, nk)
+        if len(offsets) >= 2 and offsets[-1] - offsets[-2] < k:
+            starts = np.append(starts, max(int(offsets[-2]) - k + 1, 0))
+            ends = np.append(ends, nk)
+        return starts, ends
+
+    def _fused_slabs(self, codes: np.ndarray, offsets: np.ndarray):
+        """Yield (nk_pad, stream, starts, ends, n_kmers_here) per fused slab.
+
+        The whole code stream is 2-bit packed ONCE (native SIMD); slab
+        windows are 16-base-aligned views with the K-1 halo included
+        (`/root/reference/src/cbl.rs:239-243` chunk-overlap semantics).
+        starts/ends are int32 blank intervals local to the slab, padded to a
+        power-of-two length with the dropped index nk_pad + 1."""
+        from .wordset import _next_pow2
+
+        k = self.cfg.k
+        nk = max(len(codes) - k + 1, 0)
+        if nk == 0:
+            return
+        g_starts, g_ends = self._blank_intervals(offsets, nk)
+        slab = _FUSED_SLAB
+        n_slabs = (nk + slab - 1) // slab
+        last_nk = nk - (n_slabs - 1) * slab
+        last_pad = max(_next_pow2(last_nk), 4096)  # == slab when full
+        total_bases = (n_slabs - 1) * slab + _stream_len(last_pad, k)
+        cbuf = np.zeros(total_bases, dtype=np.uint8)
+        cbuf[: min(len(codes), total_bases)] = codes[:total_bases]
+        packed = kmod.np_pack_stream(cbuf)
+        for i in range(n_slabs):
+            s0 = i * slab
+            nk_pad = slab if i < n_slabs - 1 else last_pad
+            nw = _stream_len(nk_pad, k) // 16
+            stream = packed[s0 // 16 : s0 // 16 + nw]
+            n_here = min(slab, nk - s0)
+            ss = np.clip(g_starts - s0, 0, nk_pad)
+            ee = np.clip(g_ends - s0, 0, nk_pad)
+            if n_here < nk_pad:  # blank the padded tail
+                ss = np.append(ss, n_here)
+                ee = np.append(ee, nk_pad)
+            cap = max(_next_pow2(max(len(ss), 1)), 16)
+            drop = nk_pad + 1
+            s_arr = np.full(cap, drop, dtype=np.int32)
+            s_arr[: len(ss)] = ss
+            e_arr = np.full(cap, drop, dtype=np.int32)
+            e_arr[: len(ee)] = ee
+            yield nk_pad, stream, s_arr, e_arr, n_here
 
     def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         """Insert every k-mer of a concatenated code stream with record
-        `offsets` ([n_records+1]).  This is the CLI/bench hot path: chunk
-        word batches are accumulated and folded into the index with ONE
-        concat+sort+dedup merge per slab (not per pending-buffer flush)."""
-        valid = self._stream_valid(codes, offsets)
-        if len(valid) == 0:
-            return
-        batches: list = []
-        n_rows = 0
-        for words, _, _ in self._stream_words(codes, valid):
-            batches.append(words)
-            n_rows += words.shape[0]
-            if n_rows >= self._BULK_SLAB_ROWS:
-                self.wordset.insert_rows_bulk(batches)
-                batches, n_rows = [], 0
-        self.wordset.insert_rows_bulk(batches)
+        `offsets` ([n_records+1]).  CLI/bench hot path: ONE fused device
+        program per <=2^25-k-mer slab (extract+necklace+pack+blank+sort),
+        adopted directly when the index is empty, else folded with one
+        sort-merge per slab."""
+        ws = self.wordset
+        ws.flush()
+        for nk_pad, stream, s_arr, e_arr, n_here in self._fused_slabs(
+            codes, offsets
+        ):
+            if ws._n_upper == 0:
+                data, n_dev = _fused_build_fn(
+                    self.cfg, self.canonical, nk_pad, _use_pallas()
+                )(stream, s_arr, e_arr)
+                ws.adopt_built(data, n_dev, n_here)
+            else:
+                words, _ = _fused_words_fn(
+                    self.cfg, self.canonical, nk_pad, _use_pallas()
+                )(stream, s_arr, e_arr)
+                ws._merge_into(words, n_new_upper=n_here)
 
     def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
-        valid = self._stream_valid(codes, offsets)
-        if len(valid) == 0:
-            return
-        batches = [w for w, _, _ in self._stream_words(codes, valid)]
+        batches = [
+            _fused_words_fn(self.cfg, self.canonical, nk_pad, _use_pallas())(
+                stream, s_arr, e_arr
+            )[0]
+            for nk_pad, stream, s_arr, e_arr, _ in self._fused_slabs(
+                codes, offsets
+            )
+        ]
         if batches:
-            self.wordset.remove_words(jnp.concatenate(batches, axis=0))
+            self.wordset.remove_words(
+                batches[0] if len(batches) == 1 else jnp.concatenate(batches)
+            )
 
     def query_codes_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """(total_kmers, positive_kmers) over a record stream — the CLI
         `query` counters (`/root/reference/examples/cbl.rs:212-228`).
 
-        Positives are accumulated on device; only one scalar comes back per
-        stream (invalid lanes are sentinel words, which can never match)."""
-        valid = self._stream_valid(codes, offsets)
-        total = int(valid.sum())
-        self.wordset.flush()
-        # batch the whole stream's words into one sort-join count per slab:
-        # each slab pays one sort of (live index + slab), so the slab should
-        # be at least as large as the index (bounded for memory)
-        from .wordset import _next_pow2
-
-        slab_rows = min(
-            max(1 << 23, _next_pow2(max(self.wordset._n_upper, 1))), 1 << 26
-        )
-        positive = 0
-        pending: list = []
-        n_pend = 0
-        for words, _, _ in self._stream_words(codes, valid):
-            pending.append(words)
-            n_pend += words.shape[0]
-            if n_pend >= slab_rows:
-                positive += self.wordset.count_hits(jnp.concatenate(pending))
-                pending, n_pend = [], 0
-        if pending:
-            positive += self.wordset.count_hits(jnp.concatenate(pending))
-        return total, positive
+        One fused device program per slab; both counters accumulate on
+        device and sync ONCE at the end of the stream."""
+        ws = self.wordset
+        ws.flush()
+        use_merge = self.cfg.n_bits <= 32 * ws.L - 2
+        if use_merge:
+            ws._compact()  # bitonic merge join needs the contiguous invariant
+        data = ws._live()
+        total_dev = positive_dev = None
+        for nk_pad, stream, s_arr, e_arr, _ in self._fused_slabs(
+            codes, offsets
+        ):
+            t, p = _fused_query_fn(
+                self.cfg, self.canonical, nk_pad, _use_pallas(), use_merge
+            )(stream, s_arr, e_arr, data)
+            total_dev = t if total_dev is None else total_dev + t
+            positive_dev = p if positive_dev is None else positive_dev + p
+        if total_dev is None:
+            return 0, 0
+        t, p = jax.device_get((total_dev, positive_dev))
+        return int(t), int(p)
 
     def _check_len(self, seq) -> None:
         # `src/cbl.rs:293-298`: assert seq.len() >= K

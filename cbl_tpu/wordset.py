@@ -251,6 +251,28 @@ def _merge_sortmark_kernel(data, batch):
 
 
 @partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+def _dedup_sorted_kernel(data, out_cap: int):
+    """Dedup an already-sorted (valid-first, duplicates allowed) array:
+    mark adjacent duplicates as the sentinel, one re-sort, truncate/pad.
+    Used to lazily canonicalize a fused bulk build (which keeps duplicate
+    rows to save a sort on the hot path)."""
+    L = data.shape[-1]
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), limbs.eq(data[1:], data[:-1])]
+    )
+    keep = _valid_mask(data) & ~prev_eq
+    s = jnp.where(keep[:, None], data, _U32_MAX)
+    s = sort_rows(s)
+    total = s.shape[0]
+    if out_cap <= total:
+        out = s[:out_cap]
+    else:
+        pad = jnp.full((out_cap - total, L), _U32_MAX, dtype=jnp.uint32)
+        out = jnp.concatenate([s, pad], axis=0)
+    return out, jnp.sum(keep.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
 def _compact_sort_kernel(data, out_cap: int):
     """Re-sort a 'sorted with holes' array so sentinels fall to the end,
     then truncate/pad to out_cap.  Input rows are already unique."""
@@ -607,6 +629,11 @@ class DeviceWordSet:
         # live size; `_compact()` restores the contiguous invariant.
         self.data = jnp.full((self.capacity, self.L), _U32_MAX, dtype=jnp.uint32)
         self._holes = False
+        # When `_dups` is True, `data` is sorted and contiguous but may hold
+        # duplicate rows (the fused bulk-build keeps them to save one sort);
+        # `_n_dev` still counts DISTINCT rows.  Membership queries and unions
+        # are duplicate-tolerant; paths that are not call `_dedup()`.
+        self._dups = False
         self.pending_cap = pending_cap
         self.n_pending = 0
         self.pending = jnp.full((pending_cap, self.L), _U32_MAX, dtype=jnp.uint32)
@@ -641,6 +668,36 @@ class DeviceWordSet:
         self.capacity = out_cap
         self._holes = False
         self._set_count(n_dev)
+        self._invalidate_index()
+
+    def _dedup(self) -> None:
+        """Physically drop duplicate rows left by a fused bulk build (one
+        sort).  Required before intersection/symmetric-difference adjacency
+        logic and before export/iteration."""
+        if not self._dups:
+            return
+        self.flush()
+        n = self.n  # device sync: exact distinct count sizes the result
+        out_cap = max(_next_pow2(max(n, 1)), MIN_CAP)
+        self.data, n_dev = _dedup_sorted_kernel(self._live(), out_cap)
+        self.capacity = out_cap
+        self._dups = False
+        self._holes = False
+        self._set_count(n_dev)
+        self._n_upper = n
+        self._invalidate_index()
+
+    def adopt_built(self, data, n_dev, n_upper: int) -> None:
+        """Take ownership of a fused-build result: `data` sorted ascending,
+        valid rows first (duplicates allowed), sentinel-padded to a
+        power-of-two length; `n_dev` = device scalar of DISTINCT rows."""
+        assert self.n == 0 and self.n_pending == 0
+        self.data = data
+        self.capacity = data.shape[0]
+        self._holes = False
+        self._dups = True
+        self._set_count(n_dev)
+        self._n_upper = min(n_upper, self.capacity)
         self._invalidate_index()
 
     # --- insert path ---
@@ -688,10 +745,18 @@ class DeviceWordSet:
         import os
 
         out_cap = max(_next_pow2(self._n_upper + n_new_upper), MIN_CAP)
-        data = self._live()
+        # an empty index contributes ZERO rows (not a 1-row slice): keeps the
+        # concat size a power of two so downstream compaction can donate its
+        # buffer (odd sizes forced a silent whole-array copy)
+        data = (
+            self.data[:0]
+            if self._n_upper == 0 and not self._holes
+            else self._live()
+        )
         if os.environ.get("CBL_TPU_MERGE", "sort") == "scatter":
-            if self._holes:
+            if self._holes or self._dups:
                 self._compact()
+                self._dedup()
                 data = self._live()
             self.data, n_dev = _merge_scatter_kernel(
                 data, rows, out_cap, rows_sorted
@@ -708,6 +773,7 @@ class DeviceWordSet:
             self.data, n_dev = _merge_sortcompact_kernel(data, rows, out_cap)
             self.capacity = out_cap
             self._holes = False
+        self._dups = False  # every merge kernel drops duplicate rows
         self._invalidate_index()
         self._n_dev = n_dev
         self._n_host = None  # sync lazily
@@ -779,6 +845,7 @@ class DeviceWordSet:
         )
         self.capacity = out_cap
         self._holes = False  # set-op kernels re-sort and compact
+        self._dups = False  # remove keeps the first row of each equal run
         self._set_count(n_dev)
         self._invalidate_index()
 
@@ -817,6 +884,8 @@ class DeviceWordSet:
     def intersection(self, other: "DeviceWordSet") -> "DeviceWordSet":
         self.flush()
         other.flush()
+        self._dedup()
+        other._dedup()
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, min(self.n, other.n))
         data, n_dev = _setop_kernel_for(self.cfg)(
@@ -843,6 +912,8 @@ class DeviceWordSet:
     def symmetric_difference(self, other: "DeviceWordSet") -> "DeviceWordSet":
         self.flush()
         other.flush()
+        self._dedup()
+        other._dedup()
         out = DeviceWordSet(self.cfg, self.pending_cap)
         cap = self._binary_out_cap(other, self.n + other.n)
         data, n_dev = _setop_kernel_for(self.cfg)(
@@ -890,8 +961,9 @@ class DeviceWordSet:
         out.data = self._live_copy()
         out.capacity = out.data.shape[0]
         out._holes = self._holes
+        out._dups = self._dups
         out._n_host = self.n
-        out._n_upper = self.n
+        out._n_upper = max(self.n, self._n_upper if self._dups else 0)
         return out
 
     # --- iteration / export ---
@@ -900,6 +972,7 @@ class DeviceWordSet:
         """[n, L] uint32 host array in ascending word order."""
         self.flush()
         self._compact()
+        self._dedup()
         return np.asarray(self.data[: self.n])
 
     def prefixes(self) -> np.ndarray:
@@ -908,6 +981,7 @@ class DeviceWordSet:
 
         self.flush()
         self._compact()
+        self._dedup()
         if self.n == 0:
             return np.zeros((0,), dtype=np.uint32)
         return np.asarray(necklace.word_prefix(self.data[: self.n], self.cfg))

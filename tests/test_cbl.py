@@ -229,8 +229,8 @@ def test_insert_codes_stream_multi_slab(monkeypatch):
     a = _CBL(k=25, chunk_size=4096)
     b = _CBL(k=25, chunk_size=4096)
     a.insert_codes_stream(codes, offsets)
-    monkeypatch.setattr(_CBL, "_BULK_SLAB_ROWS", 8192)
-    b.insert_codes_stream(codes, offsets)  # several slab merges
+    monkeypatch.setattr("cbl_tpu.cbl._FUSED_SLAB", 8192)
+    b.insert_codes_stream(codes, offsets)  # several fused slab merges
     monkeypatch.undo()
     assert a.count() == b.count()
     ta, tb = a.query_codes_stream(codes, offsets), b.query_codes_stream(codes, offsets)
