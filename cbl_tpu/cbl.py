@@ -49,16 +49,8 @@ def _stream_len(chunk: int, k: int) -> int:
     return (raw + 15) // 16 * 16
 
 
-def _use_pallas() -> str:
-    """Necklace kernel selector: "" = XLA chain, "1" = pallas v1 ([L, B]
-    blocks), "2" = pallas v2 (full-tile per-limb layout)."""
-    import os
-
-    return os.environ.get("CBL_TPU_PALLAS", "")
-
-
 @lru_cache(maxsize=None)
-def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int, pallas: str = ""):
+def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int):
     """stream [S/16] uint32 (16 packed bases/word), validbits [chunk/8] uint8
     (np.packbits) -> words [chunk, L] (invalid rows = sentinel).  One fused
     XLA program per (config, mode, chunk); inputs are bit-packed host-side to
@@ -68,16 +60,7 @@ def _pipeline_fn(cfg: CBLConfig, canonical: bool, chunk: int, pallas: str = ""):
         kmers = kmod.extract_kmers(stream, chunk, cfg)
         if canonical:
             kmers, _ = kmod.canonicalize(kmers, cfg)
-        if pallas == "2":
-            from .ops.necklace_pallas import necklace_pos_pallas2
-
-            best, pos = necklace_pos_pallas2(kmers, cfg)
-        elif pallas == "1":
-            from .ops.necklace_pallas import necklace_pos_pallas
-
-            best, pos = necklace_pos_pallas(kmers, cfg)
-        else:
-            best, pos = necklace.necklace_pos(kmers, cfg)
+        best, pos = necklace.necklace_pos(kmers, cfg)
         words = necklace.pack_word(best, pos, cfg)
         valid = (
             (validbits[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8))
@@ -103,7 +86,7 @@ _FUSED_SLAB = 1 << 25  # max k-mers per fused device program
 
 
 def _device_words(stream, starts, ends, nk_pad: int, cfg: CBLConfig,
-                  canonical: bool, pallas: str):
+                  canonical: bool):
     """On-device pipeline: packed stream -> ([nk_pad, L] packed words with
     blanked rows = sentinel, n_valid scalar).
 
@@ -115,16 +98,10 @@ def _device_words(stream, starts, ends, nk_pad: int, cfg: CBLConfig,
     kmers = kmod.extract_kmers(stream, nk_pad, cfg)
     if canonical:
         kmers, _ = kmod.canonicalize(kmers, cfg)
-    if pallas == "2":
-        from .ops.necklace_pallas import necklace_pos_pallas2
-
-        best, pos = necklace_pos_pallas2(kmers, cfg)
-    elif pallas == "1":
-        from .ops.necklace_pallas import necklace_pos_pallas
-
-        best, pos = necklace_pos_pallas(kmers, cfg)
-    else:
-        best, pos = necklace.necklace_pos(kmers, cfg)
+    # unrolled-XLA necklace chain: measured on v5e against two pallas
+    # variants at 2^25 rows (session7: xla 4.4ms, pallas-v1 4.9ms,
+    # pallas-v2 4.5ms) — XLA's fusion wins, the pallas kernels were deleted
+    best, pos = necklace.necklace_pos(kmers, cfg)
     words = necklace.pack_word(best, pos, cfg)
     delta = (
         jnp.zeros((nk_pad + 1,), jnp.int32)
@@ -138,7 +115,7 @@ def _device_words(stream, starts, ends, nk_pad: int, cfg: CBLConfig,
 
 
 @lru_cache(maxsize=None)
-def _fused_build_fn(cfg: CBLConfig, canonical: bool, nk_pad: int, pallas: str):
+def _fused_build_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
     """(stream, starts, ends) -> (sorted words [nk_pad, L], n_distinct).
 
     The output keeps duplicate rows (sorted ascending, sentinels last) —
@@ -148,7 +125,7 @@ def _fused_build_fn(cfg: CBLConfig, canonical: bool, nk_pad: int, pallas: str):
 
     def run(stream, starts, ends):
         words, _ = _device_words(stream, starts, ends, nk_pad, cfg,
-                                 canonical, pallas)
+                                 canonical)
         s = sort_rows(words)
         prev_eq = jnp.concatenate(
             [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
@@ -160,27 +137,31 @@ def _fused_build_fn(cfg: CBLConfig, canonical: bool, nk_pad: int, pallas: str):
 
 
 @lru_cache(maxsize=None)
-def _fused_words_fn(cfg: CBLConfig, canonical: bool, nk_pad: int, pallas: str):
+def _fused_words_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
     """(stream, starts, ends) -> (words [nk_pad, L] unsorted, n_valid)."""
 
     def run(stream, starts, ends):
-        return _device_words(stream, starts, ends, nk_pad, cfg, canonical,
-                             pallas)
+        return _device_words(stream, starts, ends, nk_pad, cfg, canonical)
 
     return jax.jit(run)
 
 
 @lru_cache(maxsize=None)
-def _fused_query_fn(cfg: CBLConfig, canonical: bool, nk_pad: int, pallas: str,
-                    use_merge: bool):
-    """(stream, starts, ends, data) -> (total, positive) device scalars."""
-    from .wordset import _count_hits_kernel, _count_hits_merge_kernel
+def _fused_query_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
+    """(stream, starts, ends, data) -> (total, positive) device scalars.
+
+    The join is one packed-tag sort of C+Q (`_count_hits_kernel_packed`);
+    it tolerates holes/duplicates in `data`, so the query path never forces
+    a compaction sort of the index."""
+    from .wordset import _count_hits_kernel, _count_hits_kernel_packed
+
+    packed_ok = cfg.n_bits <= 32 * cfg.word_limbs - 2
 
     def run(stream, starts, ends, data):
         words, n_valid = _device_words(stream, starts, ends, nk_pad, cfg,
-                                       canonical, pallas)
-        if use_merge:
-            positive = _count_hits_merge_kernel(data, words)
+                                       canonical)
+        if packed_ok:
+            positive = _count_hits_kernel_packed(data, words)
         else:
             positive = _count_hits_kernel(data, words)
         return n_valid, positive
@@ -341,7 +322,7 @@ class CBL:
 
     def _stream_words(self, codes: np.ndarray, valid: np.ndarray):
         chunk = self._effective_chunk(len(valid))
-        fn = _pipeline_fn(self.cfg, self.canonical, chunk, _use_pallas())
+        fn = _pipeline_fn(self.cfg, self.canonical, chunk)
         for stream, vbits, vbuf, n in self._stream_chunks(codes, valid, chunk):
             yield fn(stream, vbits), vbuf, n
 
@@ -431,18 +412,18 @@ class CBL:
         ):
             if ws._n_upper == 0:
                 data, n_dev = _fused_build_fn(
-                    self.cfg, self.canonical, nk_pad, _use_pallas()
+                    self.cfg, self.canonical, nk_pad
                 )(stream, s_arr, e_arr)
                 ws.adopt_built(data, n_dev, n_here)
             else:
                 words, _ = _fused_words_fn(
-                    self.cfg, self.canonical, nk_pad, _use_pallas()
+                    self.cfg, self.canonical, nk_pad
                 )(stream, s_arr, e_arr)
                 ws._merge_into(words, n_new_upper=n_here)
 
     def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         batches = [
-            _fused_words_fn(self.cfg, self.canonical, nk_pad, _use_pallas())(
+            _fused_words_fn(self.cfg, self.canonical, nk_pad)(
                 stream, s_arr, e_arr
             )[0]
             for nk_pad, stream, s_arr, e_arr, _ in self._fused_slabs(
@@ -462,16 +443,13 @@ class CBL:
         device and sync ONCE at the end of the stream."""
         ws = self.wordset
         ws.flush()
-        use_merge = self.cfg.n_bits <= 32 * ws.L - 2
-        if use_merge:
-            ws._compact()  # bitonic merge join needs the contiguous invariant
         data = ws._live()
         total_dev = positive_dev = None
         for nk_pad, stream, s_arr, e_arr, _ in self._fused_slabs(
             codes, offsets
         ):
             t, p = _fused_query_fn(
-                self.cfg, self.canonical, nk_pad, _use_pallas(), use_merge
+                self.cfg, self.canonical, nk_pad
             )(stream, s_arr, e_arr, data)
             total_dev = t if total_dev is None else total_dev + t
             positive_dev = p if positive_dev is None else positive_dev + p

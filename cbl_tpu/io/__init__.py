@@ -168,15 +168,26 @@ def _parse_fastx_py(path) -> tuple[np.ndarray, np.ndarray]:
                     chunks.append(line.strip())
             push(chunks)
         elif first.startswith(b"@"):
+            # multi-line FASTQ: sequence lines run until the '+' separator;
+            # quality lines run until their raw length matches the sequence
+            # (quality lines may begin with '@', so count, don't sniff)
             while True:
-                seq = f.readline()
-                if not seq:
+                chunks = []
+                line = f.readline()
+                while line and not line.startswith(b"+"):
+                    chunks.append(line.strip())
+                    line = f.readline()
+                if not chunks:
                     break
-                push([seq.strip()])
-                f.readline()  # +
-                f.readline()  # qual
-                nxt = f.readline()  # next @header (or EOF)
-                if not nxt:
+                raw_len = sum(len(c) for c in chunks)
+                push(chunks)
+                got = 0
+                while got < raw_len:
+                    q = f.readline()
+                    if not q:
+                        break
+                    got += len(q.strip())
+                if not f.readline():  # next @header (or EOF)
                     break
         else:
             raise ValueError(f"{path}: not a FASTA/FASTQ file")

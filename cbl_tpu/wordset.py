@@ -406,79 +406,6 @@ def _count_hits_kernel_packed(data, queries):
     return jnp.sum(hits.astype(jnp.int32))
 
 
-def _lt_cols(a_cols, b_cols):
-    """Lexicographic less-than over parallel column lists (limb-major)."""
-    L = len(a_cols)
-    res = a_cols[L - 1] < b_cols[L - 1]
-    for l in range(L - 2, -1, -1):
-        res = (a_cols[l] < b_cols[l]) | ((a_cols[l] == b_cols[l]) & res)
-    return res
-
-
-def _bitonic_merge_cols(cols):
-    """Sort a BITONIC sequence (ascending run followed by a descending run),
-    given as L parallel [N] columns with N a power of two: log2(N) elementwise
-    compare-exchange stages, no gathers/scatters.  This is the missing 'merge
-    two sorted arrays' primitive of lax.sort — O(N log N) work instead of a
-    full re-sort's O(N log^2 N), and every stage is a streaming HBM pass."""
-    N = cols[0].shape[0]
-    s = N // 2
-    while s >= 1:
-        shaped = [c.reshape(-1, 2, s) for c in cols]
-        a = [c[:, 0, :] for c in shaped]
-        b = [c[:, 1, :] for c in shaped]
-        swap = _lt_cols(b, a)
-        cols = [
-            jnp.stack(
-                [jnp.where(swap, y, x), jnp.where(swap, x, y)], axis=1
-            ).reshape(N)
-            for x, y in zip(a, b)
-        ]
-        s //= 2
-    return cols
-
-
-@jax.jit
-def _count_hits_merge_kernel(data, queries):
-    """Counting join that exploits the index's sort order: sort ONLY the
-    queries (tag packed into the key's low bit, as in
-    `_count_hits_kernel_packed`), then bitonic-merge the two sorted runs in
-    log2(C+Q) elementwise passes.  Replaces the full (C+Q) re-sort — the
-    single most expensive kernel of the query path.  Requires
-    n_bits + 1 <= 32*L - 1 (caller checks)."""
-    C, L = data.shape
-    Q = queries.shape[0]
-    one = jnp.uint32(1)
-    d = limbs.shift_left(data, 1)
-    d = d.at[:, L - 1].set(d[:, L - 1] | one)
-    q = limbs.shift_left(queries, 1)
-    qs = jax.lax.sort(tuple(q[:, l] for l in range(L)), num_keys=L)
-    if L == 1 and not isinstance(qs, (tuple, list)):
-        qs = (qs,)
-    N = _next_pow2(C + Q)
-    pad = N - C - Q
-    cols = []
-    for l in range(L):
-        parts = [d[:, l]]
-        if pad:
-            parts.append(jnp.full((pad,), _U32_MAX, dtype=jnp.uint32))
-        parts.append(qs[l][::-1])  # descending -> asc ++ pad ++ desc is bitonic
-        cols.append(jnp.concatenate(parts))
-    s = _bitonic_merge_cols(cols)
-    is_data = (s[L - 1] & one) == one
-    valid = s[0] != _U32_MAX
-    neq = (s[L - 1][1:] >> 1) != (s[L - 1][:-1] >> 1)
-    for l in range(L - 1):
-        neq = neq | (s[l][1:] != s[l][:-1])
-    run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
-    run_id = jnp.cumsum(run_start.astype(jnp.int32))
-    bwd = jax.lax.cummin(
-        jnp.where(is_data, run_id, jnp.int32(2**31 - 1)), reverse=True
-    )
-    hits = (~is_data) & (bwd == run_id) & valid
-    return jnp.sum(hits.astype(jnp.int32))
-
-
 @jax.jit
 def _contains_sortjoin_kernel(data, queries):
     """Ordered membership via sort-join.
@@ -603,6 +530,95 @@ def _append_kernel(pending, words, offset):
     return jax.lax.dynamic_update_slice(pending, words, (offset, jnp.int32(0)))
 
 
+@partial(jax.jit, static_argnames=("n", "tag"), donate_argnums=(0,))
+def _append_tags_kernel(tags, offset, n: int, tag: int):
+    seq = (jnp.arange(n, dtype=jnp.uint32) + 1 + offset.astype(jnp.uint32))
+    return jax.lax.dynamic_update_slice(
+        tags, (seq << 1) | jnp.uint32(tag), (offset,)
+    )
+
+
+@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+def _fold_log_kernel(data, pending, tags, out_cap: int):
+    """Fold a mixed insert/remove pending LOG into the sorted array with
+    last-write-wins semantics (the TPU analog of the reference's per-op
+    dynamic updates, `/root/reference/src/wordset/mod.rs:97-137`).
+
+    data: sorted rows (duplicates tolerated), implicit (seq=0, op=insert).
+    pending: [P, L] appended rows; tags: [P] uint32 = (append_seq << 1) | op
+    with op 1=insert, 0=remove (sentinel rows anywhere are ignored).
+
+    One sort of C+P with an extra seq key: within each equal-word run the
+    LAST row decides (kept iff its op is insert), which also dedups."""
+    C, L = data.shape
+    rows = jnp.concatenate([data, pending], axis=0)
+    seqtag = jnp.concatenate(
+        [jnp.ones((C,), jnp.uint32), tags]
+    )
+    ops = tuple(rows[:, l] for l in range(L)) + (seqtag,)
+    s = jax.lax.sort(ops, num_keys=L + 1)
+    neq = s[0][1:] != s[0][:-1]
+    valid_inv = s[0] == _U32_MAX
+    for l in range(1, L):
+        neq = neq | (s[l][1:] != s[l][:-1])
+        valid_inv = valid_inv & (s[l] == _U32_MAX)
+    last_of_run = jnp.concatenate([neq, jnp.ones((1,), dtype=bool)])
+    keep = ~valid_inv & last_of_run & ((s[L] & jnp.uint32(1)) == 1)
+    out_rows = jnp.stack(s[:L], axis=-1)
+    out_rows = jnp.where(keep[:, None], out_rows, _U32_MAX)
+    out_rows = sort_rows(out_rows)
+    total = out_rows.shape[0]
+    if out_cap <= total:
+        out = out_rows[:out_cap]
+    else:
+        pad = jnp.full((out_cap - total, L), _U32_MAX, dtype=jnp.uint32)
+        out = jnp.concatenate([out_rows, pad], axis=0)
+    return out, jnp.sum(keep.astype(jnp.int32))
+
+
+@jax.jit
+def _pending_override_kernel(pending, tags, queries):
+    """Per-query override from the unflushed pending log: (has [Q] bool,
+    present [Q] bool) where `has` marks queries whose word appears in the
+    log and `present` gives the LAST logged op for it (True = insert).
+
+    One (P+Q) sort; the log entry with the highest sequence in each word run
+    is located with two prefix scans (no gathers): run starts are monotone
+    positions, so `cummax(entry ? idx : -1) >= my_run_start` tests whether
+    the latest entry at-or-before me is in my own run.  Queries carry
+    seq = MAX so they sort after every log entry of their word."""
+    P, L = pending.shape
+    Q = queries.shape[0]
+    rows = jnp.concatenate([pending, queries], axis=0)
+    seqtag = jnp.concatenate([tags, jnp.full((Q,), _U32_MAX, jnp.uint32)])
+    qpos = jnp.concatenate(
+        [jnp.full((P,), Q, jnp.int32), jnp.arange(Q, dtype=jnp.int32)]
+    )
+    ops = tuple(rows[:, l] for l in range(L)) + (seqtag, qpos)
+    s = jax.lax.sort(ops, num_keys=L + 1)
+    neq = s[0][1:] != s[0][:-1]
+    sentinel = s[0] == _U32_MAX
+    for l in range(1, L):
+        neq = neq | (s[l][1:] != s[l][:-1])
+        sentinel = sentinel & (s[l] == _U32_MAX)
+    run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
+    idx = jnp.arange(P + Q, dtype=jnp.int32)
+    my_start = jax.lax.cummax(jnp.where(run_start, idx, 0))
+    is_entry = (s[L] != _U32_MAX) & ~sentinel
+    packed = jnp.where(
+        is_entry, (idx << 1) | (s[L] & jnp.uint32(1)).astype(jnp.int32), -1
+    )
+    last = jax.lax.cummax(packed)
+    has = (last >= 0) & ((last >> 1) >= my_start)
+    present = has & ((last & 1) == 1)
+    # restore query order: 1-key sort on the position payload
+    _, has_o, present_o = jax.lax.sort(
+        (s[L + 1], has.astype(jnp.uint32), present.astype(jnp.uint32)),
+        num_keys=1,
+    )
+    return has_o[:Q].astype(bool), present_o[:Q].astype(bool)
+
+
 class DeviceWordSet:
     """A dynamic set of N_BITS-wide words as a sorted device array.
 
@@ -637,6 +653,12 @@ class DeviceWordSet:
         self.pending_cap = pending_cap
         self.n_pending = 0
         self.pending = jnp.full((pending_cap, self.L), _U32_MAX, dtype=jnp.uint32)
+        # pending LOG metadata: (seq << 1) | op per appended row (op 1=insert,
+        # 0=remove); removes stay in the log until a fold — a remove is an
+        # O(append) operation, not a full-index sort
+        # (`/root/reference/src/wordset/mod.rs:97-137` dynamic contract)
+        self.pending_tags = jnp.zeros((pending_cap,), dtype=jnp.uint32)
+        self._pending_rm = False
         # radix lookup acceleration (rebuilt lazily after each mutation)
         self.table_bits = min(DEFAULT_TABLE_BITS, cfg.n_bits)
         self._offsets = None
@@ -704,13 +726,24 @@ class DeviceWordSet:
 
     def insert_words(self, words) -> None:
         """Queue [N, L] word rows (sentinel rows are ignored at flush)."""
+        self._append_log(words, tag=1)
+
+    def _append_log(self, words, tag: int) -> None:
         n = words.shape[0]
         if n > self.pending_cap:
             self.flush()
-            self._merge_into(words, n_new_upper=n)
+            if tag == 1:
+                self._merge_into(words, n_new_upper=n)
+            else:
+                self._remove_now(words)
             return
         if self.n_pending + n > self.pending_cap:
             self.flush()
+        if tag == 0:
+            self._pending_rm = True
+        self.pending_tags = _append_tags_kernel(
+            self.pending_tags, jnp.int32(self.n_pending), n, tag
+        )
         self.pending = _append_kernel(self.pending, words, jnp.int32(self.n_pending))
         self.n_pending += n
 
@@ -734,12 +767,34 @@ class DeviceWordSet:
         if self.n_pending == 0:
             return
         n_pend = self.n_pending
-        rows = self.pending[: min(_next_pow2(n_pend), self.pending_cap)]
+        eff = min(_next_pow2(n_pend), self.pending_cap)
+        rows = self.pending[:eff]
+        tags = self.pending_tags[:eff]
+        had_rm = self._pending_rm
         self.pending = jnp.full(
             (self.pending_cap, self.L), _U32_MAX, dtype=jnp.uint32
         )
+        self.pending_tags = jnp.zeros((self.pending_cap,), dtype=jnp.uint32)
         self.n_pending = 0
-        self._merge_into(rows, n_new_upper=n_pend)
+        self._pending_rm = False
+        if not had_rm:
+            self._merge_into(rows, n_new_upper=n_pend)
+            return
+        # mixed insert/remove log: one last-write-wins fold sort (holes and
+        # duplicate rows in `data` are both tolerated — everything re-sorts)
+        out_cap = max(_next_pow2(self._n_upper + n_pend), MIN_CAP)
+        data = (
+            self.data[:0]
+            if self._n_upper == 0 and not self._holes
+            else self._live()
+        )
+        self.data, n_dev = _fold_log_kernel(data, rows, tags, out_cap)
+        self.capacity = out_cap
+        self._holes = False
+        self._dups = False
+        self._set_count(n_dev)
+        self._n_upper = min(self._n_upper + n_pend, out_cap)
+        self._invalidate_index()
 
     def _merge_into(self, rows, n_new_upper: int, rows_sorted: bool = False) -> None:
         import os
@@ -788,17 +843,16 @@ class DeviceWordSet:
 
     def count_hits(self, words) -> int:
         """Number of stored words among `words` (sentinel rows ignored) —
-        the counting query path (CLI query / contains_all)."""
-        import os
+        the counting query path (CLI query / contains_all).
 
+        One packed-tag sort-join of C+Q; tolerates holes and duplicate rows
+        in `data`, so no compaction is ever forced.  (A bitonic-merge join
+        that exploited the index's sort order was measured on v5e and lost:
+        ~3.7x slower than the monolithic sort at 2^24 rows and its XLA
+        buffer assignment exceeded HBM at 2^26 — session7 log.)"""
         self.flush()
         if self.cfg.n_bits <= 32 * self.L - 2:
-            if os.environ.get("CBL_TPU_JOIN") == "sort":
-                return int(_count_hits_kernel_packed(self._live(), words))
-            # bitonic-merge join exploits the index's sort order; needs the
-            # contiguous (hole-free) invariant
-            self._compact()
-            return int(_count_hits_merge_kernel(self._live(), words))
+            return int(_count_hits_kernel_packed(self._live(), words))
         return int(_count_hits_kernel(self._live(), words))
 
     def _invalidate_index(self) -> None:
@@ -820,8 +874,25 @@ class DeviceWordSet:
         return self._window <= 1024
 
     def contains_words(self, words):
-        """[N] bool device array; sentinel query rows -> False."""
-        self.flush()
+        """[N] bool device array; sentinel query rows -> False.
+
+        With a non-empty pending log the base answer from the sorted array
+        is OVERRIDDEN by the log's last op per word — point/interleaved
+        queries never force a fold (reference dynamic-op cost contract,
+        `/root/reference/src/wordset/mod.rs:87-137`)."""
+        override = None
+        if self.n_pending > 0:
+            eff = min(_next_pow2(self.n_pending), self.pending_cap)
+            override = _pending_override_kernel(
+                self.pending[:eff], self.pending_tags[:eff], words
+            )
+        base = self._contains_base(words)
+        if override is None:
+            return base
+        has, present = override
+        return jnp.where(has, present, base) & _valid_mask(words)
+
+    def _contains_base(self, words):
         if words.shape[0] >= _SORTJOIN_MIN_QUERIES:
             return _contains_sortjoin_kernel(self._live(), words)
         self._compact()  # radix windows / binary search need contiguity
@@ -837,7 +908,11 @@ class DeviceWordSet:
         return _contains_kernel(self._live(), words)
 
     def remove_words(self, words) -> None:
-        self.flush()
+        """Queue [N, L] word removals (lazy: folds with the pending log)."""
+        self._append_log(words, tag=0)
+
+    def _remove_now(self, words) -> None:
+        """Immediate removal set-op (oversized batches only)."""
         data = self._live()
         out_cap = max(_next_pow2(max(self._n_upper, 1)), MIN_CAP)
         self.data, n_dev = _setop_kernel_for(self.cfg)(

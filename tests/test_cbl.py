@@ -192,15 +192,23 @@ def test_contains_seq_order_and_contains_all():
 
 
 def test_chunk_boundary_consistency():
-    # same set regardless of chunk size (reference CHUNK_SIZE invariance)
+    # same set regardless of chunk size (reference CHUNK_SIZE invariance).
+    # NB: chunk sizes below 4096 clamp to 4096 (`CBL._effective_chunk`), so
+    # use 4096 vs 16384 on an input long enough to span several chunks.
     k = 25
-    seq = _random_nucs(5_000, seed=8)
-    a = CBL(k=k, chunk_size=256)
-    b = CBL(k=k, chunk_size=4096)
+    seq = _random_nucs(40_000, seed=8)
+    a = CBL(k=k, chunk_size=4096)
+    b = CBL(k=k, chunk_size=16384)
     a.insert_seq(seq)
     b.insert_seq(seq)
     assert a.count() == b.count()
     assert np.array_equal(a.wordset.words_array(), b.wordset.words_array())
+    # the fused stream path must agree with the chunked insert_seq path
+    c = CBL(k=k)
+    codes = encode_seq(seq)
+    c.insert_codes_stream(codes, np.array([0, len(codes)], dtype=np.int64))
+    assert c.count() == a.count()
+    assert np.array_equal(c.wordset.words_array(), a.wordset.words_array())
 
 
 def test_multiple_records():

@@ -30,6 +30,22 @@ TTTTGGGGCCCCAAAA
 IIIIIIIIIIIIIIII
 """
 
+# legal multi-line FASTQ: wrapped sequence AND wrapped quality, with a
+# quality line that begins with '@' (must be counted, not sniffed)
+FASTQ_MULTILINE = b"""@r1 desc
+ACGTACGTACGTACGT
+ACGTACGTACGT
++
+IIIIIIIIIIIIIIII
+@IIIIIIIIIII
+@r2
+TTTTGGGGCCCCAAAA
++
+IIIIIIII
+IIIIIIII
+"""
+FASTQ_MULTILINE_RECORDS = [b"ACGTACGTACGTACGTACGTACGTACGT", b"TTTTGGGGCCCCAAAA"]
+
 
 def _expected_records(raw):
     recs = []
@@ -69,6 +85,24 @@ def test_parse_fastx(tmp_path, payload, gz, backend):
     for i, e in enumerate(expect):
         got = codes[offsets[i] : offsets[i + 1]]
         np.testing.assert_array_equal(got, e, err_msg=f"record {i}")
+
+
+@pytest.mark.parametrize("backend", ["native", "python"])
+def test_parse_fastq_multiline(tmp_path, backend):
+    p = tmp_path / "ml.fq"
+    p.write_bytes(FASTQ_MULTILINE)
+    if backend == "python":
+        codes, offsets = cio._parse_fastx_py(str(p))
+    else:
+        if cio._load_native() is None:
+            pytest.skip("native parser unavailable")
+        codes, offsets = cio.parse_fastx(str(p))
+    expect = [encode_seq(r) for r in FASTQ_MULTILINE_RECORDS]
+    assert len(offsets) - 1 == len(expect)
+    for i, e in enumerate(expect):
+        np.testing.assert_array_equal(
+            codes[offsets[i] : offsets[i + 1]], e, err_msg=f"record {i}"
+        )
 
 
 def test_parse_missing_file():

@@ -224,3 +224,44 @@ def test_live_slice_tracks_shrink_and_growth():
     ws.flush()
     assert ws.data.shape[0] <= max(2 * big_shape, 65536 * 2)
     assert ws.count() >= n1
+
+
+def test_interleaved_log_oracle():
+    """Interleaved insert/remove/query vs a python-set oracle: removes are
+    lazy log entries (no fold per op) and point queries see the log's
+    last-write-wins state without forcing a fold."""
+    ws = DeviceWordSet(CFG)
+    rng = np.random.default_rng(10)
+    oracle = set()
+    universe = _rand_words(rng, 3000)
+    for step in range(12):
+        ins = [universe[i] for i in rng.integers(0, len(universe), 200)]
+        rem = [universe[i] for i in rng.integers(0, len(universe), 120)]
+        ws.insert_words(_rows(ins))
+        oracle.update(ins)
+        ws.remove_words(_rows(rem))
+        oracle.difference_update(rem)
+        probes = [universe[i] for i in rng.integers(0, len(universe), 64)]
+        got = np.asarray(ws.contains_words(_rows(probes)))
+        want = np.array([p in oracle for p in probes])
+        assert (got == want).all(), f"step {step}"
+        if step % 5 == 4:  # fold mid-stream and re-check
+            assert ws.count() == len(oracle)
+    assert ws.count() == len(oracle)
+    assert limbs.to_py_ints(ws.words_array()) == sorted(oracle)
+
+
+def test_log_reinsert_after_remove():
+    ws = DeviceWordSet(CFG)
+    vals = [10, 20, 30, 40]
+    ws.insert_words(_rows(vals))
+    ws.remove_words(_rows([20, 30]))
+    ws.insert_words(_rows([30]))  # re-insert after pending remove
+    got = np.asarray(ws.contains_words(_rows(vals)))
+    assert list(got) == [True, False, True, True]
+    assert ws.count() == 3
+    # remove of an absent word is a no-op; remove after fold also works
+    ws.remove_words(_rows([999]))
+    ws.remove_words(_rows([10]))
+    assert ws.count() == 2
+    assert limbs.to_py_ints(ws.words_array()) == [30, 40]
