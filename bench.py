@@ -80,6 +80,146 @@ def run_tpu(codes: np.ndarray, chunk: int, pending_cap: int, repeats: int = 2):
     return best
 
 
+SEGS = 8  # dynamic-mode segments (must match bench/baseline.cpp run_dynamic)
+
+
+def run_baseline_dynamic(codes: np.ndarray) -> dict:
+    exe = build_baseline()
+    path = "/tmp/cbl_bench_codes.bin"
+    codes.tofile(path)
+    out = subprocess.run(
+        [exe, path, "dynamic"], capture_output=True, check=True, timeout=600
+    ).stdout
+    return json.loads(out)
+
+
+def run_tpu_dynamic(codes: np.ndarray, repeats: int):
+    """Interleaved insert/query/remove rounds (BASELINE config 2); the
+    workload definition matches bench/baseline.cpp run_dynamic exactly."""
+    from cbl_tpu import CBL
+
+    k = 25
+    sb = len(codes) // SEGS
+    best = None
+    for r_i in range(repeats):
+        idx = CBL(k=k)
+        t0 = time.time()
+        ops = positive = 0
+        off1 = np.array([0, sb], dtype=np.int64)
+        off_h = np.array([0, sb // 2], dtype=np.int64)
+        for i in range(SEGS):
+            seg = codes[i * sb : (i + 1) * sb]
+            idx.insert_codes_stream(seg, off1)
+            ops += sb - k + 1
+            q0 = (i - 1) * sb if i else 0
+            t, p = idx.query_codes_stream(codes[q0 : q0 + sb], off1)
+            ops += t
+            positive += p
+            idx.remove_codes_stream(seg[: sb // 2], off_h)
+            ops += sb // 2 - k + 1
+        n = idx.count()
+        total_s = time.time() - t0
+        r = {"ops": ops, "distinct": n, "positive": positive,
+             "total_s": total_s}
+        print(f"  dynamic repeat {r_i}: {total_s:.3f}s", file=sys.stderr)
+        if best is None or r["total_s"] < best["total_s"]:
+            best = r
+    return best
+
+
+def mode_dynamic(args, codes):
+    base = None if args.skip_baseline else run_baseline_dynamic(codes)
+    if base:
+        print(f"baseline dynamic: {base}", file=sys.stderr)
+    ours = run_tpu_dynamic(codes, args.repeats)
+    print(f"cbl_tpu dynamic: {ours}", file=sys.stderr)
+    if base is not None:
+        assert ours["distinct"] == base["distinct"], (ours, base)
+        assert ours["positive"] == base["positive"], (ours, base)
+        vs = (ours["ops"] / ours["total_s"]) / base["ops_per_s"]
+    else:
+        vs = None
+    print(json.dumps({
+        "metric": "interleaved insert/remove/query ops/s (K=25, "
+        f"{args.bases/1e6:.0f}Mbp, {SEGS} rounds)",
+        "value": round(ours["ops"] / ours["total_s"], 1),
+        "unit": "kmer-ops/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+def mode_largek(args, codes):
+    """BASELINE config 3: K=59 build + full enumeration (list)."""
+    from cbl_tpu import CBL
+
+    k = 59
+    offsets = np.array([0, len(codes)], dtype=np.int64)
+    nk = len(codes) - k + 1
+    best = None
+    for r_i in range(args.repeats):
+        idx = CBL(k=k, prefix_bits=28)
+        t0 = time.time()
+        idx.insert_codes_stream(codes, offsets)
+        n = idx.count()
+        t1 = time.time()
+        lst = idx.kmers_limbs()
+        t2 = time.time()
+        assert lst.shape[0] == n
+        r = {"distinct": n, "build_s": t1 - t0, "list_s": t2 - t1}
+        print(f"  largek repeat {r_i}: {r}", file=sys.stderr)
+        if best is None or r["build_s"] + r["list_s"] < (
+            best["build_s"] + best["list_s"]
+        ):
+            best = r
+    print(json.dumps({
+        "metric": f"K=59 build+list k-mers/s ({args.bases/1e6:.0f}Mbp)",
+        "value": round((nk + best["distinct"]) /
+                       (best["build_s"] + best["list_s"]), 1),
+        "unit": "kmers/s",
+        "vs_baseline": None,
+    }))
+
+
+def mode_algebra(args, codes):
+    """BASELINE config 4: two-index union/inter/diff/symdiff + serde."""
+    from cbl_tpu import CBL
+
+    half = len(codes) // 2
+    a = CBL(k=25)
+    a.insert_codes_stream(codes[:half], np.array([0, half], dtype=np.int64))
+    b = CBL(k=25)
+    b.insert_codes_stream(codes[half:], np.array([0, len(codes) - half],
+                                                 dtype=np.int64))
+    na, nb = a.count(), b.count()
+    rows = {}
+    for name, op in (("union", lambda: a | b), ("inter", lambda: a & b),
+                     ("diff", lambda: a - b), ("symdiff", lambda: a ^ b)):
+        ts = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            c = op()
+            c.count()
+            ts.append(time.time() - t0)
+        rows[name] = min(ts)
+        print(f"  {name}: {rows[name]*1e3:.0f}ms", file=sys.stderr)
+    t0 = time.time()
+    a.save_to_file("/tmp/bench_a.cblx.npz")
+    a2 = CBL.load_from_file("/tmp/bench_a.cblx.npz")
+    assert a2.count() == na
+    rows["serde_s"] = time.time() - t0
+    print(f"  serde round-trip: {rows['serde_s']:.2f}s ({na} kmers)",
+          file=sys.stderr)
+    total_rows = 4 * (na + nb)
+    algebra_s = sum(v for k_, v in rows.items() if k_ != "serde_s")
+    print(json.dumps({
+        "metric": "set-algebra rows/s over 4 ops "
+        f"(2x{na/1e6:.1f}M kmers) + serde",
+        "value": round(total_rows / algebra_s, 1),
+        "unit": "rows/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bases", type=int, default=32_000_000)
@@ -88,6 +228,12 @@ def main():
     ap.add_argument("--platform", default=None, help="e.g. cpu (default: real chip)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument(
+        "--mode", default="static",
+        choices=["static", "dynamic", "largek", "algebra"],
+        help="static = BASELINE config 1 (driver headline); dynamic/largek/"
+        "algebra = configs 2-4 (recorded in BASELINE.md)",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -95,6 +241,12 @@ def main():
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=args.bases, dtype=np.uint8)
+    if args.mode == "dynamic":
+        return mode_dynamic(args, codes)
+    if args.mode == "largek":
+        return mode_largek(args, codes)
+    if args.mode == "algebra":
+        return mode_algebra(args, codes)
     n_kmers = args.bases - 25 + 1
 
     base = None

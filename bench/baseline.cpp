@@ -31,8 +31,9 @@ static constexpr uint64_t MASK = (1ULL << BITS) - 1;
 static constexpr uint64_t MIN_MASK = (1ULL << M) - 1;
 
 // --- flat open-addressing hash set (linear probing, pow2 capacity) ---
+// slot values: 0 = empty, 1 = tombstone (erased), else key+2
 struct HashSet {
-  std::vector<uint64_t> slots;  // key+1 (0 = empty)
+  std::vector<uint64_t> slots;
   size_t mask;
   size_t count = 0;
   explicit HashSet(size_t cap_pow2) : slots(cap_pow2, 0), mask(cap_pow2 - 1) {}
@@ -42,22 +43,38 @@ struct HashSet {
     x ^= x >> 33; return x;
   }
   inline bool insert(uint64_t key) {
-    uint64_t v = key + 1;
+    uint64_t v = key + 2;
     size_t i = hash(key) & mask;
+    size_t first_tomb = SIZE_MAX;
     while (true) {
       uint64_t s = slots[i];
-      if (s == 0) { slots[i] = v; count++; return true; }
+      if (s == 0) {
+        slots[first_tomb != SIZE_MAX ? first_tomb : i] = v;
+        count++;
+        return true;
+      }
+      if (s == 1 && first_tomb == SIZE_MAX) first_tomb = i;
       if (s == v) return false;
       i = (i + 1) & mask;
     }
   }
   inline bool contains(uint64_t key) const {
-    uint64_t v = key + 1;
+    uint64_t v = key + 2;
     size_t i = hash(key) & mask;
     while (true) {
       uint64_t s = slots[i];
       if (s == 0) return false;
       if (s == v) return true;
+      i = (i + 1) & mask;
+    }
+  }
+  inline bool erase(uint64_t key) {
+    uint64_t v = key + 2;
+    size_t i = hash(key) & mask;
+    while (true) {
+      uint64_t s = slots[i];
+      if (s == 0) return false;
+      if (s == v) { slots[i] = 1; count--; return true; }
       i = (i + 1) & mask;
     }
   }
@@ -118,8 +135,52 @@ struct NecklaceStream {
   }
 };
 
+// process [base, base+len) as one record: necklace-stream + op per k-mer
+template <typename F>
+static inline void for_each_packed(const uint8_t* codes, size_t len, F&& op) {
+  if (len < (size_t)K) return;
+  NecklaceStream ns;
+  uint64_t w = 0;
+  for (int i = 0; i < K; i++) w = (w << 2) | codes[i];
+  ns.seed(w);
+  op(ns.packed_word());
+  for (size_t i = K; i < len; i++) {
+    ns.append_base(codes[i]);
+    op(ns.packed_word());
+  }
+}
+
+// Interleaved dynamic workload (BASELINE config 2): the stream is split in
+// SEGS segments (each its own record); per round: insert segment i, query
+// segment max(i-1,0), remove the first half of segment i.  Must match
+// bench.py --mode dynamic exactly (counts are cross-checked).
+static int run_dynamic(const std::vector<uint8_t>& codes) {
+  static constexpr int SEGS = 8;
+  size_t sb = codes.size() / SEGS;
+  size_t cap = 1;
+  while (cap < codes.size() * 2) cap <<= 1;
+  HashSet set(cap);
+  size_t ops = 0, positive = 0;
+  using clk = std::chrono::steady_clock;
+  auto t0 = clk::now();
+  for (int i = 0; i < SEGS; i++) {
+    const uint8_t* seg = codes.data() + i * sb;
+    for_each_packed(seg, sb, [&](uint64_t wd) { set.insert(wd); ops++; });
+    const uint8_t* q = codes.data() + (i ? (i - 1) * sb : 0);
+    for_each_packed(q, sb, [&](uint64_t wd) { positive += set.contains(wd); ops++; });
+    for_each_packed(seg, sb / 2, [&](uint64_t wd) { set.erase(wd); ops++; });
+  }
+  auto t1 = clk::now();
+  double t = std::chrono::duration<double>(t1 - t0).count();
+  printf(
+      "{\"mode\": \"dynamic\", \"ops\": %zu, \"distinct\": %zu, "
+      "\"positive\": %zu, \"total_s\": %.6f, \"ops_per_s\": %.1f}\n",
+      ops, set.count, positive, t, ops / t);
+  return 0;
+}
+
 int main(int argc, char** argv) {
-  if (argc < 2) { fprintf(stderr, "usage: baseline <codes.bin>\n"); return 2; }
+  if (argc < 2) { fprintf(stderr, "usage: baseline <codes.bin> [dynamic]\n"); return 2; }
   FILE* f = fopen(argv[1], "rb");
   if (!f) { fprintf(stderr, "cannot open %s\n", argv[1]); return 2; }
   fseek(f, 0, SEEK_END);
@@ -129,6 +190,7 @@ int main(int argc, char** argv) {
   if (fread(codes.data(), 1, n, f) != (size_t)n) { return 2; }
   fclose(f);
   if (n < K) { fprintf(stderr, "input too short\n"); return 2; }
+  if (argc > 2 && strcmp(argv[2], "dynamic") == 0) return run_dynamic(codes);
   size_t n_kmers = n - K + 1;
 
   size_t cap = 1;

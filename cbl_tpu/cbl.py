@@ -357,14 +357,19 @@ class CBL:
             ends = np.append(ends, nk)
         return starts, ends
 
-    def _fused_slabs(self, codes: np.ndarray, offsets: np.ndarray):
+    def _fused_slabs(self, codes: np.ndarray, offsets: np.ndarray,
+                     slab: int | None = None, uniform: bool = False):
         """Yield (nk_pad, stream, starts, ends, n_kmers_here) per fused slab.
 
         The whole code stream is 2-bit packed ONCE (native SIMD); slab
         windows are 16-base-aligned views with the K-1 halo included
         (`/root/reference/src/cbl.rs:239-243` chunk-overlap semantics).
         starts/ends are int32 blank intervals local to the slab, padded to a
-        power-of-two length with the dropped index nk_pad + 1."""
+        power-of-two length with the dropped index nk_pad + 1.
+
+        slab: override the slab size (power of two >= 4096); uniform pads
+        the final slab to the full size too (sharded callers stack D slab
+        inputs into one array)."""
         from .wordset import _next_pow2
 
         k = self.cfg.k
@@ -372,10 +377,10 @@ class CBL:
         if nk == 0:
             return
         g_starts, g_ends = self._blank_intervals(offsets, nk)
-        slab = _FUSED_SLAB
+        slab = _FUSED_SLAB if slab is None else slab
         n_slabs = (nk + slab - 1) // slab
         last_nk = nk - (n_slabs - 1) * slab
-        last_pad = max(_next_pow2(last_nk), 4096)  # == slab when full
+        last_pad = slab if uniform else max(_next_pow2(last_nk), 4096)
         total_bases = (n_slabs - 1) * slab + _stream_len(last_pad, k)
         cbuf = np.zeros(total_bases, dtype=np.uint8)
         cbuf[: min(len(codes), total_bases)] = codes[:total_bases]
@@ -553,16 +558,28 @@ class CBL:
 
     # --- iteration (`src/cbl.rs:358-360`) ---
 
+    def _decode_batches(self, words: np.ndarray):
+        """Yield (kmer_limbs, base_codes, n) per decode batch.  Batches are
+        sentinel-padded to a fixed size so every dispatch reuses ONE compiled
+        shape (a ragged final slice would compile per distinct length)."""
+        fn = _decode_fn(self.cfg)
+        step = self.chunk
+        for start in range(0, words.shape[0], step):
+            batch = words[start : start + step]
+            n = batch.shape[0]
+            if n < step:
+                pad = np.full((step - n, batch.shape[1]), 0xFFFFFFFF,
+                              dtype=np.uint32)
+                batch = np.concatenate([batch, pad])
+            km, codes = fn(jnp.asarray(batch))
+            yield km, codes, n
+
     def kmers_limbs(self) -> np.ndarray:
         """[n, L] k-mer limb rows, ascending packed-word order."""
         words = self.wordset.words_array()
         if words.shape[0] == 0:
             return words
-        out = []
-        fn = _decode_fn(self.cfg)
-        for start in range(0, words.shape[0], self.chunk):
-            km, _ = fn(jnp.asarray(words[start : start + self.chunk]))
-            out.append(np.asarray(km))
+        out = [np.asarray(km)[:n] for km, _, n in self._decode_batches(words)]
         return np.concatenate(out)
 
     def __iter__(self):
@@ -572,13 +589,11 @@ class CBL:
     def iter_nucs(self):
         """Yield k-mers as ASCII bytes (CLI `list`)."""
         words = self.wordset.words_array()
-        fn = _decode_fn(self.cfg)
-        for start in range(0, words.shape[0], self.chunk):
-            _, codes = fn(jnp.asarray(words[start : start + self.chunk]))
-            codes = np.asarray(codes)
-            lut = kmod.BASE_LOOKUP
-            for row in codes:
-                yield lut[row].tobytes()
+        lut = kmod.BASE_LOOKUP
+        for _, codes, n in self._decode_batches(words):
+            ascii_rows = lut[np.asarray(codes)[:n]]  # [n, K] bytes
+            for row in ascii_rows:
+                yield row.tobytes()
 
     # --- set algebra (`src/cbl.rs:411-569`) ---
 

@@ -33,7 +33,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import limbs
 from ..config import CBLConfig
-from ..wordset import MIN_CAP, _U32_MAX, sort_rows, _valid_mask, _compact
+from ..wordset import (
+    MIN_CAP,
+    _U32_MAX,
+    _compact,
+    _next_pow2,
+    _valid_mask,
+    sort_rows,
+)
 
 AXIS = "d"
 
@@ -227,6 +234,101 @@ def _count_hits_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P()),
         out_specs=P(AXIS),
+    )
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
+def _bulk_insert_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
+                         nk_sub: int, C: int, C_new: int, bucket_cap: int):
+    """Fused DP front-end + EP routing + per-shard merge in ONE program:
+    every device runs the whole k-mer pipeline on ITS slice of the base
+    stream (`_device_words`), routes words to owner shards with a single
+    tiled all-to-all, and folds its received bucket with one sort-merge.
+
+    This is the bulk-slab insert the per-batch host loop lacked (one device
+    program per D*nk_sub k-mers instead of one dispatch per D*2^14 words).
+    Returns (state, per-shard counts, psum of rows dropped by bucket
+    overflow — 0 unless the range partition is badly skewed; the host
+    verifies and raises)."""
+    from ..cbl import _device_words
+
+    D = mesh.devices.size
+    L = cfg.word_limbs
+
+    def local_step(data, stream, starts, ends, boundaries):
+        words, _ = _device_words(
+            stream[0], starts[0], ends[0], nk_sub, cfg, canonical
+        )
+        owner = _owner_of(words, boundaries)
+        cnt = jnp.zeros((D + 1,), jnp.int32).at[owner.astype(jnp.int32)].add(
+            jnp.where(_valid_mask(words), 1, 0), mode="drop"
+        )[:D]
+        dropped = jnp.sum(jnp.maximum(cnt - bucket_cap, 0))
+        send = _bucket_by_owner(words, owner, D, bucket_cap)
+        recv = jax.lax.all_to_all(
+            send, AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        cat = jnp.concatenate([data[0], recv.reshape(D * bucket_cap, L)], axis=0)
+        s = sort_rows(cat)
+        prev_eq = jnp.concatenate(
+            [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+        )
+        keep = _valid_mask(s) & ~prev_eq
+        s = jnp.where(keep[:, None], s, jnp.uint32(0xFFFFFFFF))
+        s = sort_rows(s)
+        return (
+            s[None, :C_new],
+            jnp.sum(keep.astype(jnp.int32))[None],
+            jax.lax.psum(dropped, AXIS)[None],
+        )
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
+def _bulk_count_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
+                        nk_sub: int, C: int):
+    """Fused DP front-end + routed distributed counting query: pipeline on
+    the local stream slice, all-to-all to owners, local packed sort-join,
+    psum.  Returns (total valid k-mers, positive) per device (replicated)."""
+    from ..cbl import _device_words
+    from ..wordset import _count_hits_kernel, _count_hits_kernel_packed
+
+    D = mesh.devices.size
+    L = cfg.word_limbs
+    count_kernel = (
+        _count_hits_kernel_packed
+        if cfg.n_bits <= 32 * L - 2
+        else _count_hits_kernel
+    )
+
+    def local_step(data, stream, starts, ends, boundaries):
+        words, n_valid = _device_words(
+            stream[0], starts[0], ends[0], nk_sub, cfg, canonical
+        )
+        owner = _owner_of(words, boundaries)
+        send = _bucket_by_owner(words, owner, D, nk_sub)
+        recv = jax.lax.all_to_all(
+            send, AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        local = count_kernel(data[0], recv.reshape(D * nk_sub, L))
+        return (
+            jax.lax.psum(n_valid, AXIS)[None],
+            jax.lax.psum(local, AXIS)[None],
+        )
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
     )
     return jax.jit(step)
 
@@ -558,9 +660,108 @@ class ShardedCBL:
         for words, _, _ in front._stream_words(codes, valid):
             yield np.asarray(words)
 
+    # bulk path: one fused program (pipeline+route+merge) per D sub-slabs
+    _SUB_SLAB_MAX = 1 << 22
+
+    def _front(self):
+        from ..cbl import CBL
+
+        return CBL(
+            k=self.cfg.k,
+            prefix_bits=self.cfg.prefix_bits,
+            canonical=self.canonical,
+        )
+
+    def _sub_slab_groups(self, codes: np.ndarray, offsets: np.ndarray):
+        """Yield (nk_sub, stream [D, Sw], starts [D, S], ends [D, S]) groups:
+        the record stream is split into D-device groups of uniform fused
+        sub-slabs (device d of group g handles k-mer starts
+        [(gD+d)*nk_sub, ...)), so every device runs the SAME program on its
+        own stream slice — the DP front-end of SURVEY.md §2.9."""
+        from ..wordset import _next_pow2
+
+        front = self._front()
+        k = self.cfg.k
+        nk = max(len(codes) - k + 1, 0)
+        if nk == 0:
+            return
+        per_dev = (nk + self.D - 1) // self.D
+        nk_sub = min(max(_next_pow2(per_dev), 4096), self._SUB_SLAB_MAX)
+        slabs = list(front._fused_slabs(codes, offsets, slab=nk_sub, uniform=True))
+        for g0 in range(0, len(slabs), self.D):
+            group = slabs[g0 : g0 + self.D]
+            cap = max(s[2].shape[0] for s in group)
+            drop = nk_sub + 1
+            streams, starts, ends = [], [], []
+            for _, stream, s_arr, e_arr, _ in group:
+                s_pad = np.full(cap, drop, dtype=np.int32)
+                s_pad[: len(s_arr)] = s_arr
+                e_pad = np.full(cap, drop, dtype=np.int32)
+                e_pad[: len(e_arr)] = e_arr
+                streams.append(stream)
+                starts.append(s_pad)
+                ends.append(e_pad)
+            while len(streams) < self.D:  # dummy all-blank sub-slab
+                streams.append(np.zeros_like(streams[0]))
+                s_pad = np.full(cap, drop, dtype=np.int32)
+                e_pad = np.full(cap, drop, dtype=np.int32)
+                s_pad[0], e_pad[0] = 0, nk_sub
+                starts.append(s_pad)
+                ends.append(e_pad)
+            yield (
+                nk_sub,
+                np.stack(streams),
+                np.stack(starts),
+                np.stack(ends),
+            )
+
+    def _maybe_init_boundaries_from_stream(
+        self, nk_sub: int, stream: np.ndarray, starts: np.ndarray,
+        ends: np.ndarray,
+    ) -> None:
+        """Quantile boundaries from the first sub-slab's words (computed
+        once on the default device; ~one extra pipeline pass)."""
+        if self._boundaries_from_data or self.count() > 0 or self.D == 1:
+            return
+        from ..cbl import _fused_words_fn
+
+        words, _ = _fused_words_fn(self.cfg, self.canonical, nk_sub)(
+            stream[0], starts[0], ends[0]
+        )
+        self._maybe_init_boundaries(np.asarray(words))
+
     def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
-        for words in self._words_of_codes(codes, offsets):
-            self.insert_words(words)
+        """Distributed bulk build: every device pipelines its own stream
+        slice, routes words to owner shards (one all-to-all), and merges
+        once per slab group — no per-batch host round-trips."""
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        for nk_sub, stream, starts, ends in self._sub_slab_groups(
+            codes, offsets
+        ):
+            self._maybe_init_boundaries_from_stream(nk_sub, stream, starts, ends)
+            bucket_cap = max(4096, _next_pow2((2 * nk_sub) // self.D))
+            incoming = min(self.D * nk_sub, self.D * bucket_cap)
+            # one exact count sync per slab keeps the capacity bound tight
+            need = int(self.shard_counts.max()) + incoming
+            if need > self.C:
+                self._ensure_capacity(need - self._count_upper)
+            fn = _bulk_insert_step_fn(
+                self.cfg, self.canonical, self.mesh, nk_sub, self.C, self.C,
+                bucket_cap,
+            )
+            self.data, counts, dropped = fn(
+                self.data,
+                jax.device_put(stream, sharding),
+                jax.device_put(starts, sharding),
+                jax.device_put(ends, sharding),
+                jnp.asarray(self.boundaries),
+            )
+            self._set_counts_dev(counts, self._count_upper + incoming)
+            if int(np.asarray(dropped)[0]) != 0:
+                raise RuntimeError(
+                    "sharded insert bucket overflow: range partition too "
+                    "skewed; rebuild with boundaries from representative data"
+                )
 
     def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         """Remove every k-mer of the record stream (distributed analog of
@@ -570,14 +771,30 @@ class ShardedCBL:
 
     def query_codes_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """(total k-mers, positive k-mers) over the record stream — the
-        distributed counting query (CLI `query` contract)."""
-        total = 0
-        positive = 0
-        for words in self._words_of_codes(codes, offsets):
-            valid = ~np.all(words == _U32_MAX, axis=-1)
-            total += int(valid.sum())
-            positive += self.count_hits(words)
-        return total, positive
+        distributed counting query (CLI `query` contract).  One fused
+        pipeline+route+join program per slab group; scalars accumulate on
+        device and sync once."""
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        total_dev = positive_dev = None
+        for nk_sub, stream, starts, ends in self._sub_slab_groups(
+            codes, offsets
+        ):
+            fn = _bulk_count_step_fn(
+                self.cfg, self.canonical, self.mesh, nk_sub, self.C
+            )
+            t, p = fn(
+                self.data,
+                jax.device_put(stream, sharding),
+                jax.device_put(starts, sharding),
+                jax.device_put(ends, sharding),
+                jnp.asarray(self.boundaries),
+            )
+            total_dev = t if total_dev is None else total_dev + t
+            positive_dev = p if positive_dev is None else positive_dev + p
+        if total_dev is None:
+            return 0, 0
+        t, p = jax.device_get((total_dev, positive_dev))
+        return int(np.asarray(t)[0]), int(np.asarray(p)[0])
 
     @classmethod
     def from_cbl(cls, cbl, mesh: Mesh | None = None, **kw) -> "ShardedCBL":

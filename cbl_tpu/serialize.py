@@ -20,8 +20,10 @@ VERSION = 1
 
 
 def save(cbl, path) -> None:
+    # uncompressed: packed necklace words are near-incompressible and zlib
+    # costs seconds per 100MB; the array IS the canonical index form
     words = cbl.wordset.words_array()
-    np.savez_compressed(
+    np.savez(
         path if str(path).endswith(".npz") else str(path),
         magic=np.array(MAGIC),
         version=np.array(VERSION),
@@ -57,7 +59,22 @@ def load(path):
         canonical = bool(z["canonical"])
         words = z["words"]
     cbl = CBL(k=k, prefix_bits=prefix_bits, canonical=canonical)
-    if words.shape[0]:
-        cbl.wordset.insert_words(words)  # rows are sorted+unique; merge is a no-op pass
-        cbl.wordset.flush()
+    n = int(words.shape[0])
+    if n:
+        # saved rows are sorted + unique: install them directly as the
+        # device array (sentinel-padded to a power of two) — no device
+        # kernel, no one-off-shape compile on the load path
+        from .wordset import MIN_CAP, _next_pow2
+
+        ws = cbl.wordset
+        cap = max(_next_pow2(n), MIN_CAP)
+        padded = np.full((cap, words.shape[1]), 0xFFFFFFFF, dtype=np.uint32)
+        padded[:n] = words
+        import jax.numpy as jnp
+
+        ws.data = jnp.asarray(padded)
+        ws.capacity = cap
+        ws._n_host = n
+        ws._n_upper = n
+        ws._n_dev = None
     return cbl

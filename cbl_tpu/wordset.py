@@ -1048,7 +1048,9 @@ class DeviceWordSet:
         self.flush()
         self._compact()
         self._dedup()
-        return np.asarray(self.data[: self.n])
+        # transfer the whole (pow2) array and slice on host: a device-side
+        # [:n] slice compiles a fresh one-off-shape program per distinct n
+        return np.asarray(self.data)[: self.n]
 
     def prefixes(self) -> np.ndarray:
         """Sorted [n] uint32 prefix of each stored word."""
@@ -1059,4 +1061,5 @@ class DeviceWordSet:
         self._dedup()
         if self.n == 0:
             return np.zeros((0,), dtype=np.uint32)
-        return np.asarray(necklace.word_prefix(self.data[: self.n], self.cfg))
+        # full-array kernel + host slice (avoids per-n device slice programs)
+        return np.asarray(necklace.word_prefix(self.data, self.cfg))[: self.n]
