@@ -59,10 +59,11 @@ def run_tpu(codes: np.ndarray, chunk: int, pending_cap: int, repeats: int = 2):
     for r_i in range(repeats):  # first repeat absorbs compiles; keep the best
         idx = CBL(k=25, chunk_size=chunk, pending_cap=pending_cap)
         t0 = time.time()
-        idx.insert_codes_stream(codes, offsets)
+        ps = idx.pack_stream(codes, offsets)  # one host->device staging
+        idx.insert_codes_stream(ps)
         n_distinct = idx.count()  # forces flush + sync
         t1 = time.time()
-        total, positive = idx.query_codes_stream(codes, offsets)
+        total, positive = idx.query_codes_stream(ps)
         t2 = time.time()
         r = {
             "distinct": n_distinct,
@@ -107,15 +108,17 @@ def run_tpu_dynamic(codes: np.ndarray, repeats: int):
         ops = positive = 0
         off1 = np.array([0, sb], dtype=np.int64)
         off_h = np.array([0, sb // 2], dtype=np.int64)
+        segs = [idx.pack_stream(codes[i * sb : (i + 1) * sb], off1)
+                for i in range(SEGS)]
+        halves = [idx.pack_stream(codes[i * sb : i * sb + sb // 2], off_h)
+                  for i in range(SEGS)]
         for i in range(SEGS):
-            seg = codes[i * sb : (i + 1) * sb]
-            idx.insert_codes_stream(seg, off1)
+            idx.insert_codes_stream(segs[i])
             ops += sb - k + 1
-            q0 = (i - 1) * sb if i else 0
-            t, p = idx.query_codes_stream(codes[q0 : q0 + sb], off1)
+            t, p = idx.query_codes_stream(segs[i - 1 if i else 0])
             ops += t
             positive += p
-            idx.remove_codes_stream(seg[: sb // 2], off_h)
+            idx.remove_codes_stream(halves[i])
             ops += sb // 2 - k + 1
         n = idx.count()
         total_s = time.time() - t0

@@ -31,7 +31,7 @@ if not _os.environ.get("CBL_TPU_NO_CACHE"):
         pass
 
 from .config import CBLConfig, get_config
-from .cbl import CBL
+from .cbl import CBL, PackedStream
 
-__all__ = ["CBL", "CBLConfig", "get_config"]
+__all__ = ["CBL", "CBLConfig", "PackedStream", "get_config"]
 __version__ = "0.1.0"

@@ -194,6 +194,23 @@ def _decode_fn(cfg: CBLConfig):
     return jax.jit(run)
 
 
+class PackedStream:
+    """A record stream staged on device: per-slab (nk_pad, stream, starts,
+    ends, n_kmers) with all arrays already device-resident.  Build once via
+    `CBL.pack_stream`, then pass to insert/remove/query_codes_stream —
+    repeated passes over the same reads (the reference CLI's build+query
+    pattern) pay the host->device transfer only once."""
+
+    def __init__(self, cfg: CBLConfig, canonical: bool, slabs: list):
+        self.cfg = cfg
+        self.canonical = canonical
+        self.slabs = slabs
+
+    @property
+    def n_kmers(self) -> int:
+        return sum(s[4] for s in self.slabs)
+
+
 class CBL:
     """A fully dynamic, exact set of k-mers (TPU-native CBL).
 
@@ -404,17 +421,43 @@ class CBL:
             e_arr[: len(ee)] = ee
             yield nk_pad, stream, s_arr, e_arr, n_here
 
-    def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
+    def pack_stream(self, codes: np.ndarray, offsets: np.ndarray) -> "PackedStream":
+        """Stage a record stream on device once (async transfers) so
+        insert/remove/query can all run against it without re-transferring
+        over the host link — the device-memory analog of the reference
+        holding the parsed reads in RAM across its build+query passes."""
+        slabs = [
+            (
+                nk_pad,
+                jax.device_put(stream),
+                jax.device_put(s_arr),
+                jax.device_put(e_arr),
+                n_here,
+            )
+            for nk_pad, stream, s_arr, e_arr, n_here in self._fused_slabs(
+                codes, offsets
+            )
+        ]
+        return PackedStream(self.cfg, self.canonical, slabs)
+
+    def _resolve_stream(self, codes, offsets) -> "PackedStream":
+        if isinstance(codes, PackedStream):
+            if (codes.cfg, codes.canonical) != (self.cfg, self.canonical):
+                raise ValueError("PackedStream built for a different config")
+            return codes
+        return self.pack_stream(codes, offsets)
+
+    def insert_codes_stream(self, codes, offsets: np.ndarray | None = None) -> None:
         """Insert every k-mer of a concatenated code stream with record
-        `offsets` ([n_records+1]).  CLI/bench hot path: ONE fused device
-        program per <=2^25-k-mer slab (extract+necklace+pack+blank+sort),
-        adopted directly when the index is empty, else folded with one
-        sort-merge per slab."""
+        `offsets` ([n_records+1]), or of a pre-staged `PackedStream`.
+        CLI/bench hot path: ONE fused device program per <=2^25-k-mer slab
+        (extract+necklace+pack+blank+sort), adopted directly when the index
+        is empty, else folded with one sort-merge per slab."""
         ws = self.wordset
         ws.flush()
-        for nk_pad, stream, s_arr, e_arr, n_here in self._fused_slabs(
+        for nk_pad, stream, s_arr, e_arr, n_here in self._resolve_stream(
             codes, offsets
-        ):
+        ).slabs:
             if ws._n_upper == 0:
                 data, n_dev = _fused_build_fn(
                     self.cfg, self.canonical, nk_pad
@@ -426,23 +469,24 @@ class CBL:
                 )(stream, s_arr, e_arr)
                 ws._merge_into(words, n_new_upper=n_here)
 
-    def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
+    def remove_codes_stream(self, codes, offsets: np.ndarray | None = None) -> None:
         batches = [
             _fused_words_fn(self.cfg, self.canonical, nk_pad)(
                 stream, s_arr, e_arr
             )[0]
-            for nk_pad, stream, s_arr, e_arr, _ in self._fused_slabs(
+            for nk_pad, stream, s_arr, e_arr, _ in self._resolve_stream(
                 codes, offsets
-            )
+            ).slabs
         ]
         if batches:
             self.wordset.remove_words(
                 batches[0] if len(batches) == 1 else jnp.concatenate(batches)
             )
 
-    def query_codes_stream(self, codes: np.ndarray, offsets: np.ndarray):
-        """(total_kmers, positive_kmers) over a record stream — the CLI
-        `query` counters (`/root/reference/examples/cbl.rs:212-228`).
+    def query_codes_stream(self, codes, offsets: np.ndarray | None = None):
+        """(total_kmers, positive_kmers) over a record stream (or a
+        pre-staged `PackedStream`) — the CLI `query` counters
+        (`/root/reference/examples/cbl.rs:212-228`).
 
         One fused device program per slab; both counters accumulate on
         device and sync ONCE at the end of the stream."""
@@ -450,9 +494,9 @@ class CBL:
         ws.flush()
         data = ws._live()
         total_dev = positive_dev = None
-        for nk_pad, stream, s_arr, e_arr, _ in self._fused_slabs(
+        for nk_pad, stream, s_arr, e_arr, _ in self._resolve_stream(
             codes, offsets
-        ):
+        ).slabs:
             t, p = _fused_query_fn(
                 self.cfg, self.canonical, nk_pad
             )(stream, s_arr, e_arr, data)

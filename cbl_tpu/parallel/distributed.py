@@ -37,6 +37,172 @@ def init_distributed(coordinator_address: str | None = None,
     jax.distributed.initialize(**kwargs)
 
 
+def multihost_insert_stream(idx, codes: np.ndarray, offsets: np.ndarray,
+                            nk_sub: int = 4096, icap: int = 64) -> None:
+    """Insert THIS process's record slice into a global ShardedCBL.
+
+    Every process calls this with its own (codes, offsets) sub-stream
+    (`host_record_slice` + `slice_codes`); each builds uniform fused
+    sub-slab groups for its LOCAL devices, assembles them into global
+    arrays with `make_array_from_process_local_data`, and all processes
+    run the same bulk insert step (pipeline -> all-to-all -> merge).
+    Shapes are coordinated: fixed nk_sub/icap, group count = max over
+    processes (short processes contribute all-blank dummy slabs).
+
+    Reference seam being generalized: the k-way merge of independently
+    built indexes, `/root/reference/src/wordset/set_ops.rs:11-76`."""
+    import jax
+    from jax.experimental import multihost_utils as mh
+
+    from .shard import build_slab_groups
+
+    n_proc = jax.process_count()
+    d_local = idx.D // n_proc
+    front = idx._front()
+    # agree on boundaries (process 0's defaults; data-driven init would
+    # diverge across processes)
+    if not idx._boundaries_from_data and n_proc > 1:
+        idx.boundaries = np.asarray(
+            mh.broadcast_one_to_all(idx.boundaries)
+        ).astype(np.uint32)
+        idx._boundaries_from_data = True
+    # agree on the number of groups
+    nk = max(len(codes) - idx.cfg.k + 1, 0)
+    n_local = (max(nk, 1) + nk_sub - 1) // nk_sub
+    n_groups_local = (n_local + d_local - 1) // d_local
+    n_groups = int(np.max(mh.process_allgather(np.array([n_groups_local]))))
+    for nk_sub_, stream, starts, ends in build_slab_groups(
+        front, codes, offsets, nk_sub, d_local, icap=icap, n_groups=n_groups
+    ):
+        idx._insert_group(
+            nk_sub_,
+            idx._put_rows(stream),
+            idx._put_rows(starts),
+            idx._put_rows(ends),
+        )
+
+
+def multihost_query_stream(idx, codes: np.ndarray, offsets: np.ndarray,
+                           nk_sub: int = 4096, icap: int = 64):
+    """(total, positive) over the UNION of all processes' record slices."""
+    import jax
+    from jax.experimental import multihost_utils as mh
+
+    from .shard import build_slab_groups
+
+    n_proc = jax.process_count()
+    d_local = idx.D // n_proc
+    front = idx._front()
+    nk = max(len(codes) - idx.cfg.k + 1, 0)
+    n_local = (max(nk, 1) + nk_sub - 1) // nk_sub
+    n_groups_local = (n_local + d_local - 1) // d_local
+    n_groups = int(np.max(mh.process_allgather(np.array([n_groups_local]))))
+    total_dev = positive_dev = None
+    for nk_sub_, stream, starts, ends in build_slab_groups(
+        front, codes, offsets, nk_sub, d_local, icap=icap, n_groups=n_groups
+    ):
+        t, p = idx._query_group(
+            nk_sub_,
+            idx._put_rows(stream),
+            idx._put_rows(starts),
+            idx._put_rows(ends),
+        )
+        total_dev = t if total_dev is None else total_dev + t
+        positive_dev = p if positive_dev is None else positive_dev + p
+    if total_dev is None:
+        return 0, 0
+    return idx._reduce_query(total_dev, positive_dev)
+
+
+def run_multihost_dryrun_worker(coordinator: str, n_proc: int, pid: int,
+                                bases: int = 60_000, k: int = 25) -> None:
+    """Worker body for the 2-process CPU validation (BASELINE config 5's
+    testable half): initialize the process group, build ONE global
+    ShardedCBL from per-process record slices, and verify count + query
+    totals against a single-device reference build."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=n_proc, process_id=pid
+    )
+    assert jax.process_count() == n_proc
+    from ..cbl import CBL
+    from .shard import ShardedCBL, make_mesh
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=bases, dtype=np.uint8)
+    offsets = np.array(
+        [0, bases // 3, bases // 2, bases - 11, bases], dtype=np.int64
+    )
+    lo, hi = host_record_slice(offsets, pid, n_proc)
+    codes_l, offsets_l = slice_codes(codes, offsets, lo, hi)
+
+    mesh = make_mesh()  # all global devices
+    idx = ShardedCBL(k=k, mesh=mesh)
+    multihost_insert_stream(idx, codes_l, offsets_l)
+    n = idx.count()
+
+    # expected set from a single-device build of the FULL stream
+    ref = CBL(k=k)
+    ref.insert_codes_stream(codes, offsets)
+    expect = ref.count()
+    assert n == expect, f"multihost count {n} != single-device {expect}"
+
+    total, positive = multihost_query_stream(idx, codes_l, offsets_l)
+    nk_expect = sum(
+        max(int(offsets[i + 1] - offsets[i]) - k + 1, 0)
+        for i in range(len(offsets) - 1)
+    )
+    assert total == nk_expect, (total, nk_expect)
+    assert positive == total, (positive, total)
+    if pid == 0:
+        print(f"MULTIHOST_OK n={n} total={total}", flush=True)
+
+
+def launch_multihost_dryrun(n_proc: int = 2, devices_per_proc: int = 4,
+                            bases: int = 60_000, timeout: int = 600) -> None:
+    """Spawn n_proc local processes (each with its own CPU device set) and
+    run `run_multihost_dryrun_worker` in every one."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    procs = []
+    for pid in range(n_proc):
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["JAX_PLATFORMS"] = "cpu"
+        env["CBL_TPU_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={devices_per_proc}"
+        )
+        code = (
+            "from cbl_tpu.parallel.distributed import "
+            "run_multihost_dryrun_worker as w; "
+            f"w({coordinator!r}, {n_proc}, {pid}, bases={bases})"
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"multihost worker {pid} failed (rc {p.returncode}):\n{out[-3000:]}"
+            )
+    assert "MULTIHOST_OK" in outs[0], outs[0][-3000:]
+
+
 def host_record_slice(offsets: np.ndarray, host_id: int, n_hosts: int):
     """Assign records to this host, balanced by total bases.
 

@@ -383,6 +383,73 @@ def _count_fn(mesh: Mesh):
     )
 
 
+@lru_cache(maxsize=None)
+def _gather_counts_fn(mesh: Mesh):
+    """[D] shard-counts (sharded on d) -> [D] fully replicated, so every
+    PROCESS of a multi-host mesh can read all counts (np.asarray on a
+    sharded global array only sees addressable shards)."""
+
+    def local(counts):
+        return jax.lax.all_gather(counts, AXIS, tiled=True)
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=P(AXIS), out_specs=P(),
+            check_vma=False,  # all_gather output IS replicated
+        )
+    )
+
+
+def build_slab_groups(front, codes: np.ndarray, offsets: np.ndarray,
+                      nk_sub: int, rows: int, icap: int | None = None,
+                      n_groups: int | None = None):
+    """Stack uniform fused sub-slabs into groups of `rows` device inputs.
+
+    Yields (nk_sub, stream [rows, Sw], starts [rows, S], ends [rows, S]);
+    missing sub-slabs become all-blank dummies.  `icap` forces the interval
+    array length S (multi-process callers need identical shapes on every
+    process); `n_groups` pads/truncates the group count the same way."""
+    slabs = list(front._fused_slabs(codes, offsets, slab=nk_sub, uniform=True))
+    drop = nk_sub + 1
+    total_groups = (
+        n_groups if n_groups is not None else (len(slabs) + rows - 1) // rows
+    )
+    sw = None
+    for g0 in range(total_groups):
+        group = slabs[g0 * rows : (g0 + 1) * rows]
+        cap = icap if icap is not None else max(
+            (s[2].shape[0] for s in group), default=16
+        )
+        streams, starts, ends = [], [], []
+        for _, stream, s_arr, e_arr, _ in group:
+            if len(s_arr) > cap:
+                raise ValueError(
+                    f"interval cap {cap} < {len(s_arr)} intervals; raise icap"
+                )
+            s_pad = np.full(cap, drop, dtype=np.int32)
+            s_pad[: len(s_arr)] = s_arr
+            e_pad = np.full(cap, drop, dtype=np.int32)
+            e_pad[: len(e_arr)] = e_arr
+            streams.append(stream)
+            starts.append(s_pad)
+            ends.append(e_pad)
+            sw = stream.shape[0]
+        while len(streams) < rows:  # dummy all-blank sub-slab
+            from ..cbl import _stream_len
+
+            streams.append(
+                np.zeros(sw if sw is not None
+                         else _stream_len(nk_sub, front.cfg.k) // 16,
+                         dtype=np.uint32)
+            )
+            s_pad = np.full(cap, drop, dtype=np.int32)
+            e_pad = np.full(cap, drop, dtype=np.int32)
+            s_pad[0], e_pad[0] = 0, nk_sub
+            starts.append(s_pad)
+            ends.append(e_pad)
+        yield nk_sub, np.stack(streams), np.stack(starts), np.stack(ends)
+
+
 class ShardedCBL:
     """A CBL index partitioned over a 1-D device mesh by word prefix.
 
@@ -411,10 +478,7 @@ class ShardedCBL:
         self.C = shard_capacity
         self.B = batch_per_device
         self.L = self.cfg.word_limbs
-        sharding = NamedSharding(self.mesh, P(AXIS))
-        self.data = jax.device_put(
-            jnp.full((self.D, self.C, self.L), _U32_MAX, dtype=jnp.uint32), sharding
-        )
+        self.data = self._device_full((self.D, self.C, self.L))
         # Per-shard counts live on device; the host keeps a worst-case upper
         # bound so the insert loop never blocks on a device->host sync
         # (the tunnel round-trip is ~28ms — syncing per batch serializes the
@@ -454,13 +518,52 @@ class ShardedCBL:
         self.boundaries = np.stack(qs).astype(np.uint32)
         self._boundaries_from_data = True
 
+    # --- multi-process-safe device array plumbing ---
+
+    @property
+    def _sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(AXIS))
+
+    @property
+    def _multiproc(self) -> bool:
+        return jax.process_count() > 1 and self.mesh.devices.size > len(
+            [d for d in self.mesh.devices.flat if d.process_index == jax.process_index()]
+        )
+
+    def _device_full(self, shape):
+        """Sentinel-filled [D, ...] array sharded on the mesh; created ON
+        DEVICE (a host device_put cannot target non-addressable devices of a
+        multi-process mesh)."""
+        if not self._multiproc:
+            return jax.device_put(
+                jnp.full(shape, _U32_MAX, dtype=jnp.uint32), self._sharding
+            )
+        mk = jax.jit(
+            lambda: jnp.full(shape, _U32_MAX, dtype=jnp.uint32),
+            out_shardings=self._sharding,
+        )
+        return mk()
+
+    def _put_rows(self, host_rows: np.ndarray):
+        """[D, ...] host array -> sharded device array.  In a multi-process
+        mesh each process contributes only ITS device rows (the caller
+        passes local rows [D_local, ...])."""
+        if not self._multiproc:
+            return jax.device_put(host_rows, self._sharding)
+        return jax.make_array_from_process_local_data(
+            self._sharding, np.ascontiguousarray(host_rows)
+        )
+
     # --- word-level ops (device-batched) ---
 
     @property
     def shard_counts(self) -> np.ndarray:
         """Exact per-shard counts (forces a device sync if one is pending)."""
         if self._counts_host is None:
-            self._counts_host = np.asarray(self._counts_dev).astype(np.int64)
+            cd = self._counts_dev
+            if self._multiproc:
+                cd = _gather_counts_fn(self.mesh)(cd)  # replicated [D]
+            self._counts_host = np.asarray(cd).astype(np.int64)
             self._count_upper = int(self._counts_host.max())
         return self._counts_host
 
@@ -486,13 +589,21 @@ class ShardedCBL:
         if need <= self.C:
             return
         new_c = max(self.C * 2, 1 << (need - 1).bit_length())
-        pad = jnp.full(
-            (self.D, new_c - self.C, self.L), _U32_MAX, dtype=jnp.uint32
+        grow = jax.jit(
+            lambda d: jnp.concatenate(
+                [
+                    d,
+                    jnp.full(
+                        (self.D, new_c - self.C, self.L),
+                        _U32_MAX,
+                        dtype=jnp.uint32,
+                    ),
+                ],
+                axis=1,
+            ),
+            out_shardings=self._sharding,
         )
-        sharding = NamedSharding(self.mesh, P(AXIS))
-        self.data = jax.device_put(
-            jnp.concatenate([self.data, pad], axis=1), sharding
-        )
+        self.data = grow(self.data)
         self.C = new_c
 
     def insert_words(self, words) -> None:
@@ -680,40 +791,15 @@ class ShardedCBL:
         own stream slice — the DP front-end of SURVEY.md §2.9."""
         from ..wordset import _next_pow2
 
-        front = self._front()
         k = self.cfg.k
         nk = max(len(codes) - k + 1, 0)
         if nk == 0:
             return
         per_dev = (nk + self.D - 1) // self.D
         nk_sub = min(max(_next_pow2(per_dev), 4096), self._SUB_SLAB_MAX)
-        slabs = list(front._fused_slabs(codes, offsets, slab=nk_sub, uniform=True))
-        for g0 in range(0, len(slabs), self.D):
-            group = slabs[g0 : g0 + self.D]
-            cap = max(s[2].shape[0] for s in group)
-            drop = nk_sub + 1
-            streams, starts, ends = [], [], []
-            for _, stream, s_arr, e_arr, _ in group:
-                s_pad = np.full(cap, drop, dtype=np.int32)
-                s_pad[: len(s_arr)] = s_arr
-                e_pad = np.full(cap, drop, dtype=np.int32)
-                e_pad[: len(e_arr)] = e_arr
-                streams.append(stream)
-                starts.append(s_pad)
-                ends.append(e_pad)
-            while len(streams) < self.D:  # dummy all-blank sub-slab
-                streams.append(np.zeros_like(streams[0]))
-                s_pad = np.full(cap, drop, dtype=np.int32)
-                e_pad = np.full(cap, drop, dtype=np.int32)
-                s_pad[0], e_pad[0] = 0, nk_sub
-                starts.append(s_pad)
-                ends.append(e_pad)
-            yield (
-                nk_sub,
-                np.stack(streams),
-                np.stack(starts),
-                np.stack(ends),
-            )
+        yield from build_slab_groups(
+            self._front(), codes, offsets, nk_sub, self.D
+        )
 
     def _maybe_init_boundaries_from_stream(
         self, nk_sub: int, stream: np.ndarray, starts: np.ndarray,
@@ -730,38 +816,43 @@ class ShardedCBL:
         )
         self._maybe_init_boundaries(np.asarray(words))
 
+    def _insert_group(self, nk_sub: int, stream_g, starts_g, ends_g) -> None:
+        """One bulk insert step on already-sharded device inputs."""
+        bucket_cap = max(4096, _next_pow2((2 * nk_sub) // self.D))
+        incoming = min(self.D * nk_sub, self.D * bucket_cap)
+        # one exact count sync per slab keeps the capacity bound tight
+        need = int(self.shard_counts.max()) + incoming
+        if need > self.C:
+            self._ensure_capacity(need - self._count_upper)
+        fn = _bulk_insert_step_fn(
+            self.cfg, self.canonical, self.mesh, nk_sub, self.C, self.C,
+            bucket_cap,
+        )
+        self.data, counts, dropped = fn(
+            self.data, stream_g, starts_g, ends_g, jnp.asarray(self.boundaries)
+        )
+        self._set_counts_dev(counts, self._count_upper + incoming)
+        if int(np.asarray(dropped.addressable_shards[0].data)[0] if
+               self._multiproc else np.asarray(dropped)[0]) != 0:
+            raise RuntimeError(
+                "sharded insert bucket overflow: range partition too "
+                "skewed; rebuild with boundaries from representative data"
+            )
+
     def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         """Distributed bulk build: every device pipelines its own stream
         slice, routes words to owner shards (one all-to-all), and merges
         once per slab group — no per-batch host round-trips."""
-        sharding = NamedSharding(self.mesh, P(AXIS))
         for nk_sub, stream, starts, ends in self._sub_slab_groups(
             codes, offsets
         ):
             self._maybe_init_boundaries_from_stream(nk_sub, stream, starts, ends)
-            bucket_cap = max(4096, _next_pow2((2 * nk_sub) // self.D))
-            incoming = min(self.D * nk_sub, self.D * bucket_cap)
-            # one exact count sync per slab keeps the capacity bound tight
-            need = int(self.shard_counts.max()) + incoming
-            if need > self.C:
-                self._ensure_capacity(need - self._count_upper)
-            fn = _bulk_insert_step_fn(
-                self.cfg, self.canonical, self.mesh, nk_sub, self.C, self.C,
-                bucket_cap,
+            self._insert_group(
+                nk_sub,
+                self._put_rows(stream),
+                self._put_rows(starts),
+                self._put_rows(ends),
             )
-            self.data, counts, dropped = fn(
-                self.data,
-                jax.device_put(stream, sharding),
-                jax.device_put(starts, sharding),
-                jax.device_put(ends, sharding),
-                jnp.asarray(self.boundaries),
-            )
-            self._set_counts_dev(counts, self._count_upper + incoming)
-            if int(np.asarray(dropped)[0]) != 0:
-                raise RuntimeError(
-                    "sharded insert bucket overflow: range partition too "
-                    "skewed; rebuild with boundaries from representative data"
-                )
 
     def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         """Remove every k-mer of the record stream (distributed analog of
@@ -774,26 +865,36 @@ class ShardedCBL:
         distributed counting query (CLI `query` contract).  One fused
         pipeline+route+join program per slab group; scalars accumulate on
         device and sync once."""
-        sharding = NamedSharding(self.mesh, P(AXIS))
         total_dev = positive_dev = None
         for nk_sub, stream, starts, ends in self._sub_slab_groups(
             codes, offsets
         ):
-            fn = _bulk_count_step_fn(
-                self.cfg, self.canonical, self.mesh, nk_sub, self.C
-            )
-            t, p = fn(
-                self.data,
-                jax.device_put(stream, sharding),
-                jax.device_put(starts, sharding),
-                jax.device_put(ends, sharding),
-                jnp.asarray(self.boundaries),
+            t, p = self._query_group(
+                nk_sub,
+                self._put_rows(stream),
+                self._put_rows(starts),
+                self._put_rows(ends),
             )
             total_dev = t if total_dev is None else total_dev + t
             positive_dev = p if positive_dev is None else positive_dev + p
         if total_dev is None:
             return 0, 0
-        t, p = jax.device_get((total_dev, positive_dev))
+        return self._reduce_query(total_dev, positive_dev)
+
+    def _query_group(self, nk_sub: int, stream_g, starts_g, ends_g):
+        fn = _bulk_count_step_fn(
+            self.cfg, self.canonical, self.mesh, nk_sub, self.C
+        )
+        return fn(
+            self.data, stream_g, starts_g, ends_g, jnp.asarray(self.boundaries)
+        )
+
+    def _reduce_query(self, total_dev, positive_dev):
+        if self._multiproc:
+            t = np.asarray(total_dev.addressable_shards[0].data)
+            p = np.asarray(positive_dev.addressable_shards[0].data)
+        else:
+            t, p = jax.device_get((total_dev, positive_dev))
         return int(np.asarray(t)[0]), int(np.asarray(p)[0])
 
     @classmethod
