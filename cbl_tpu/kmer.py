@@ -185,6 +185,20 @@ def unpack_bases(kmers, cfg: CBLConfig):
     return jnp.stack(cols, axis=-1)
 
 
+def np_unpack_bases(kmers: np.ndarray, cfg: CBLConfig) -> np.ndarray:
+    """Host twin of `unpack_bases` (export/list path)."""
+    W = cfg.kmer_bits
+    L = kmers.shape[-1]
+    cols = []
+    for j in range(cfg.k):
+        lo = W - 2 - 2 * j
+        limb = L - 1 - lo // 32
+        off = lo % 32
+        cols.append(((kmers[..., limb] >> np.uint32(off)) & np.uint32(3)
+                     ).astype(np.uint8))
+    return np.stack(cols, axis=-1)
+
+
 # --- k-mer neighborhood ops (`/root/reference/src/kmer.rs:61-90`) ---
 
 

@@ -155,62 +155,118 @@ def extract_bits(x, lo: int, nbits: int):
     return val
 
 
-def variable_shift_right(x, s, width: int):
-    """Logical right shift by a per-element traced amount s in [0, width].
+def _variable_shift_right(x, s, width: int, xp):
+    """Logical right shift by a per-element amount s in [0, width].
 
     x: [..., L]; s: [...] integer array.  Used by the iteration/decode path
     (`revert_necklace_pos`, `/root/reference/src/necklace/mod.rs:29-31`),
-    where the rotation amount is data-dependent.
-    """
+    where the rotation amount is data-dependent.  `xp` is the array module
+    (jnp on device, np for the host-side decode of `words_array` exports —
+    same code, no device round-trip)."""
     L = x.shape[-1]
-    s = s.astype(jnp.uint32)
-    q = (s // LIMB_BITS).astype(jnp.int32)  # limb shift
+    s = s.astype(xp.uint32)
+    q = (s // LIMB_BITS).astype(xp.int32)  # limb shift
     r = s % LIMB_BITS  # bit shift
     # First shift whole limbs by q via a gather along the limb axis.
-    idx = jnp.arange(L, dtype=jnp.int32)  # output limb ids
-    src = jnp.broadcast_to(idx, x.shape[:-1] + (L,)) - q[..., None]
+    idx = xp.arange(L, dtype=xp.int32)  # output limb ids
+    src = xp.broadcast_to(idx, x.shape[:-1] + (L,)) - q[..., None]
     valid = src >= 0
-    src_c = jnp.clip(src, 0, L - 1)
-    shifted = jnp.take_along_axis(x, src_c, axis=-1)
-    shifted = jnp.where(valid, shifted, 0)
+    src_c = xp.clip(src, 0, L - 1)
+    shifted = xp.take_along_axis(x, src_c, axis=-1)
+    shifted = xp.where(valid, shifted, 0).astype(xp.uint32)
     # Then shift by r bits with carry from the next-higher limb.
-    hi = jnp.concatenate([jnp.zeros_like(shifted[..., :1]), shifted[..., :-1]], axis=-1)
+    hi = xp.concatenate(
+        [xp.zeros_like(shifted[..., :1]), shifted[..., :-1]], axis=-1
+    )
     r_ = r[..., None]
-    out = jnp.where(
+    out = xp.where(
         r_ == 0,
         shifted,
-        (shifted >> r_) | ((hi << 1) << (jnp.uint32(LIMB_BITS - 1) - r_)),
+        (shifted >> r_) | ((hi << 1) << (xp.uint32(LIMB_BITS - 1) - r_)),
     )
     return out
 
 
-def variable_shift_left(x, s, width: int):
-    """Left shift by per-element traced amount, result masked to `width` bits."""
+def variable_shift_right(x, s, width: int):
+    return _variable_shift_right(x, s, width, jnp)
+
+
+def _variable_shift_left(x, s, width: int, xp):
+    """Left shift by per-element amount, result masked to `width` bits."""
     L = x.shape[-1]
-    s = s.astype(jnp.uint32)
-    q = (s // LIMB_BITS).astype(jnp.int32)
+    s = s.astype(xp.uint32)
+    q = (s // LIMB_BITS).astype(xp.int32)
     r = s % LIMB_BITS
-    idx = jnp.arange(L, dtype=jnp.int32)
-    src = jnp.broadcast_to(idx, x.shape[:-1] + (L,)) + q[..., None]
+    idx = xp.arange(L, dtype=xp.int32)
+    src = xp.broadcast_to(idx, x.shape[:-1] + (L,)) + q[..., None]
     valid = src <= L - 1
-    src_c = jnp.clip(src, 0, L - 1)
-    shifted = jnp.take_along_axis(x, src_c, axis=-1)
-    shifted = jnp.where(valid, shifted, 0)
-    lo = jnp.concatenate([shifted[..., 1:], jnp.zeros_like(shifted[..., :1])], axis=-1)
+    src_c = xp.clip(src, 0, L - 1)
+    shifted = xp.take_along_axis(x, src_c, axis=-1)
+    shifted = xp.where(valid, shifted, 0).astype(xp.uint32)
+    lo = xp.concatenate(
+        [shifted[..., 1:], xp.zeros_like(shifted[..., :1])], axis=-1
+    )
     r_ = r[..., None]
-    out = jnp.where(
+    out = xp.where(
         r_ == 0,
         shifted,
-        (shifted << r_) | ((lo >> 1) >> (jnp.uint32(LIMB_BITS - 1) - r_)),
+        (shifted << r_) | ((lo >> 1) >> (xp.uint32(LIMB_BITS - 1) - r_)),
     )
-    return mask_width(out, width)
+    m = width_mask(width, L)
+    return out & (m if xp is np else jnp.asarray(m))
+
+
+def variable_shift_left(x, s, width: int):
+    return _variable_shift_left(x, s, width, jnp)
+
+
+def _variable_rotl(x, s, width: int, xp):
+    left = _variable_shift_left(x, s, width, xp)
+    right = _variable_shift_right(
+        x,
+        (xp.uint32(width) - s.astype(xp.uint32)) % xp.uint32(width),
+        width,
+        xp,
+    )
+    return xp.where((s % width == 0)[..., None], x, left | right)
 
 
 def variable_rotl(x, s, width: int):
     """Rotate a width-bit value left by per-element amount s in [0, width)."""
-    left = variable_shift_left(x, s, width)
-    right = variable_shift_right(x, (jnp.uint32(width) - s.astype(jnp.uint32)) % jnp.uint32(width), width)
-    return jnp.where((s % width == 0)[..., None], x, left | right)
+    return _variable_rotl(x, s, width, jnp)
+
+
+def np_variable_rotl(x: np.ndarray, s: np.ndarray, width: int) -> np.ndarray:
+    """Host (numpy) twin of `variable_rotl` for export/decode paths."""
+    return _variable_rotl(
+        np.ascontiguousarray(x, dtype=np.uint32), s, width, np
+    )
+
+
+def np_shift_right(x: np.ndarray, s: int) -> np.ndarray:
+    """Host twin of `shift_right` (static amount)."""
+    L = x.shape[-1]
+    q, r = divmod(s, LIMB_BITS)
+    cols = []
+    for l in range(L):
+        src = l - q
+        col = x[..., src] if 0 <= src < L else np.zeros_like(x[..., 0])
+        if r:
+            col = col >> r
+            src2 = src - 1
+            if 0 <= src2 < L:
+                col = col | (x[..., src2] << (LIMB_BITS - r))
+        cols.append(col)
+    return np.stack(cols, axis=-1)
+
+
+def np_extract_bits(x: np.ndarray, lo: int, nbits: int) -> np.ndarray:
+    """Host twin of `extract_bits`."""
+    assert nbits <= 32
+    val = np_shift_right(x, lo)[..., x.shape[-1] - 1]
+    if nbits < 32:
+        val = val & np.uint32((1 << nbits) - 1)
+    return val
 
 
 # --- host-side conversions (tests, iteration, serde) ---

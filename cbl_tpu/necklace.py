@@ -49,6 +49,26 @@ def necklace_pos(kmers, cfg: CBLConfig):
     return best, pos
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
+def necklace_pos_auto(kmers, cfg: CBLConfig):
+    """Platform dispatch: the Pallas VMEM-resident kernel on TPU backends
+    (ONE HBM pass; the XLA chain re-materialises its carry ~2K times and
+    measured ~450ms per 2^25 k-mers on v5e — session10), the fused XLA
+    chain on CPU (pallas interpret mode is far slower than compiled XLA
+    for tests).  Both are bit-identical to `py_necklace_pos`."""
+    N = kmers.shape[0]
+    if _on_tpu() and N % 1024 == 0:
+        from .ops.necklace_pallas import necklace_pos_pallas
+
+        return necklace_pos_pallas(kmers, cfg)
+    return necklace_pos(kmers, cfg)
+
+
 def revert_necklace_pos(necklace, pos, cfg: CBLConfig):
     """Rotate right by pos to recover the original k-mer;
     `/root/reference/src/necklace/mod.rs:29-31`."""
@@ -81,6 +101,24 @@ def word_prefix(word, cfg: CBLConfig):
     """prefix = word >> SUFFIX_BITS as uint32;
     `/root/reference/src/wordset/mod.rs:63-71`."""
     return limbs.extract_bits(word, cfg.suffix_bits, cfg.prefix_bits)
+
+
+# --- host-side decode (export/list paths) ---
+
+
+def np_word_to_kmer(words: "np.ndarray", cfg: CBLConfig) -> "np.ndarray":
+    """Host (numpy) twin of `word_to_kmer`: decode exported packed words
+    without any device round-trip — the `list` path is transfer-bound over
+    the sandbox's host<->TPU relay, so decode runs where the bytes already
+    are."""
+    import numpy as np
+
+    W = cfg.kmer_bits
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    pos = limbs.np_extract_bits(words, 0, cfg.pos_bits)
+    necklace = limbs.np_shift_right(words, cfg.pos_bits)
+    s = (np.uint32(W) - pos.astype(np.uint32)) % np.uint32(W)
+    return limbs.np_variable_rotl(necklace, s, W)
 
 
 # --- host-side oracle (tests) ---
