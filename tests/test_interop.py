@@ -98,3 +98,102 @@ def test_wrong_constants_detected(tmp_path):
     interop.save_reference(s, p)
     with pytest.raises(ValueError):
         interop.load_reference(p, k=31, prefix_bits=24)  # wrong suffix width
+
+
+def test_golden_trie_bucket_branching(tmp_path):
+    """Golden fixture with BRANCHING trie nodes (>1 child per level) plus a
+    Vec bucket in the same file — transcribed byte-for-byte from the
+    reference serde rules (`/root/reference/src/trie.rs:53-57` struct field
+    order bv-then-children; `src/bitvector/tiny/mod.rs:97-129` TinyBitvector
+    as a seq of set indices; bincode varint lengths).  K=25/PREFIX_BITS=24:
+    suffio are 4-byte big-endian trie paths."""
+    import io
+
+    buf = io.BytesIO()
+    buf.write(b"\x00")                       # canonical = false
+    interop._write_varint(buf, 2)            # two buckets
+
+    # bucket 1: prefix 3, Vec variant with one suffix
+    interop._write_varint(buf, 3)
+    interop._write_varint(buf, 0)            # Vec
+    interop._write_varint(buf, 1)
+    interop._write_varint(buf, 4)            # SlicedInt byte len
+    buf.write((0xAABBCCDD).to_bytes(4, "little"))
+
+    # bucket 2: prefix 9, Trie variant; paths:
+    #   (1,2,3,4), (1,2,3,7), (1,2,9,0), (5,0,0,255)
+    interop._write_varint(buf, 9)
+    interop._write_varint(buf, 1)            # Trie
+    def node(bv, n_children):
+        interop._write_varint(buf, len(bv))
+        for i in bv:
+            interop._write_varint(buf, i)
+        interop._write_varint(buf, n_children)
+    node([1, 5], 2)                          # root branches: 1 and 5
+    node([2], 1)                             #   1 ->
+    node([3, 9], 2)                          #     2 -> branches: 3 and 9
+    node([4, 7], 0)                          #       3 -> leaves 4, 7
+    node([0], 0)                             #       9 -> leaf 0
+    node([0], 1)                             #   5 ->
+    node([0], 1)                             #     0 ->
+    node([255], 0)                           #       0 -> leaf 255
+    interop._write_varint(buf, 4)            # stored element count
+
+    p = tmp_path / "branchy.cbl"
+    p.write_bytes(buf.getvalue())
+    cbl = interop.load_reference(p, k=25, prefix_bits=24)
+    assert cbl.count() == 5
+    from cbl_tpu import limbs
+
+    words = limbs.to_py_ints(cbl.wordset.words_array())
+    assert words == sorted(
+        [(3 << 32) | 0xAABBCCDD]
+        + [
+            (9 << 32) | 0x01020304,
+            (9 << 32) | 0x01020307,
+            (9 << 32) | 0x01020900,
+            (9 << 32) | 0x050000FF,
+        ]
+    )
+    # round-trip through our writer (Vec form) and back
+    p2 = tmp_path / "rt.cbl"
+    interop.save_reference(cbl, p2)
+    cbl2 = interop.load_reference(p2, k=25, prefix_bits=24)
+    assert limbs.to_py_ints(cbl2.wordset.words_array()) == words
+
+
+def test_export_import_cli_large(tmp_path):
+    """Large round-trip through the export-ref/import-ref CLI commands."""
+    import subprocess
+    import sys
+
+    seq = _random_nucs(40_000, seed=13)
+    fa = tmp_path / "r.fa"
+    fa.write_bytes(b">r\n" + seq + b"\n")
+    idx = tmp_path / "i.cblx"
+    ref = tmp_path / "i.cbl"
+    idx2 = tmp_path / "i2.cblx"
+
+    def run(*args):
+        import os
+
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["CBL_TPU_PLATFORM"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, "-m", "cbl_tpu", *args],
+            capture_output=True, env=env, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        return r.stdout
+
+    run("build", str(fa), "-o", str(idx))
+    run("export-ref", str(idx), str(ref))
+    run("import-ref", str(ref), str(idx2), "-k", "25")
+    a = CBL.load_from_file(idx)
+    b = CBL.load_from_file(idx2)
+    assert a.count() == b.count()
+    from cbl_tpu import limbs
+
+    assert limbs.to_py_ints(a.wordset.words_array()) == limbs.to_py_ints(
+        b.wordset.words_array()
+    )
