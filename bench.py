@@ -124,15 +124,17 @@ def run_tpu_dynamic(codes: np.ndarray, repeats: int):
                 for i in range(SEGS)]
         halves = [idx.pack_stream(codes[i * sb : i * sb + sb // 2], off_h)
                   for i in range(SEGS)]
+        pos_dev = None
         for i in range(SEGS):
             idx.insert_codes_stream(segs[i])
             ops += sb - k + 1
-            t, p = idx.query_codes_stream(segs[i - 1 if i else 0])
-            ops += t
-            positive += p
+            t, p = idx.query_codes_stream(segs[i - 1 if i else 0], lazy=True)
+            pos_dev = p if pos_dev is None else pos_dev + p
+            ops += sb - k + 1
             idx.remove_codes_stream(halves[i])
             ops += sb // 2 - k + 1
         n = idx.count()
+        positive = int(pos_dev)
         total_s = time.time() - t0
         r = {"ops": ops, "distinct": n, "positive": positive,
              "total_s": total_s}

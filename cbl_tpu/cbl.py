@@ -472,7 +472,13 @@ class CBL:
                 )(stream, s_arr, e_arr)
                 if ps._cache_on:
                     ps._words[i] = (words, n_valid)
-                ws._merge_into(words, n_new_upper=n_here)
+                if words.shape[0] + ws.n_pending <= ws.pending_cap:
+                    # append to the pending log: interleaved insert/remove
+                    # rounds then fold ONCE at the next query instead of
+                    # paying a separate merge sort per call
+                    ws.insert_words(words)
+                else:
+                    ws._merge_into(words, n_new_upper=n_here)
 
     def remove_codes_stream(self, codes, offsets: np.ndarray | None = None) -> None:
         ps = self._resolve_stream(codes, offsets)
@@ -491,13 +497,16 @@ class CBL:
                 batches[0] if len(batches) == 1 else jnp.concatenate(batches)
             )
 
-    def query_codes_stream(self, codes, offsets: np.ndarray | None = None):
+    def query_codes_stream(self, codes, offsets: np.ndarray | None = None,
+                           lazy: bool = False):
         """(total_kmers, positive_kmers) over a record stream (or a
         pre-staged `PackedStream`) — the CLI `query` counters
         (`/root/reference/examples/cbl.rs:212-228`).
 
         One fused device program per slab; both counters accumulate on
-        device and sync ONCE at the end of the stream."""
+        device and sync ONCE at the end of the stream.  With lazy=True the
+        device scalars are returned unsynced (interleaved benchmarks sum
+        them and sync once per workload)."""
         ws = self.wordset
         ws.flush()
         data = ws._live()
@@ -518,7 +527,9 @@ class CBL:
             total_dev = t if total_dev is None else total_dev + t
             positive_dev = p if positive_dev is None else positive_dev + p
         if total_dev is None:
-            return 0, 0
+            return (0, 0) if not lazy else (jnp.int32(0), jnp.int32(0))
+        if lazy:
+            return total_dev, positive_dev
         t, p = jax.device_get((total_dev, positive_dev))
         return int(t), int(p)
 

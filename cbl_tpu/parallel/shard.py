@@ -238,6 +238,35 @@ def _count_hits_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
     return jax.jit(step)
 
 
+def _route_sorted(s, boundaries, D: int, bucket_cap: int):
+    """Build the [D, bucket_cap, L] all-to-all send buffer from SORTED rows.
+
+    The range partition follows word order, so sorting makes owner runs
+    contiguous (sentinels last).  Bucket b then occupies rows
+    [off[b], off[b+1]) and the padded send buffer is ONE row gather — no
+    [B, D] one-hot matrix and no scatter (TPU scatters run ~10x slower
+    than gathers).  Returns (send, dropped) where dropped counts rows that
+    exceeded bucket_cap (host raises; ~0 with quantile boundaries)."""
+    B, L = s.shape
+    valid = _valid_mask(s)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    offs = [jnp.int32(0)]
+    for b in range(D - 1):
+        offs.append(
+            jnp.sum((valid & limbs.lt(s, boundaries[b][None, :])).astype(jnp.int32))
+        )
+    offs.append(n_valid)
+    off = jnp.stack(offs)  # [D+1]
+    cnt = off[1:] - off[:-1]
+    j = jnp.arange(bucket_cap, dtype=jnp.int32)
+    idx2 = off[:D, None] + j[None, :]  # [D, cap]
+    send = s[jnp.clip(idx2, 0, B - 1)]  # [D, cap, L]
+    keep = j[None, :] < jnp.minimum(cnt, bucket_cap)[:, None]
+    send = jnp.where(keep[..., None], send, _U32_MAX)
+    dropped = jnp.sum(jnp.maximum(cnt - bucket_cap, 0))
+    return send, dropped
+
+
 @lru_cache(maxsize=None)
 def _bulk_insert_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
                          nk_sub: int, C: int, C_new: int, bucket_cap: int):
@@ -260,16 +289,18 @@ def _bulk_insert_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         words, _ = _device_words(
             stream[0], starts[0], ends[0], nk_sub, cfg, canonical
         )
-        owner = _owner_of(words, boundaries)
-        cnt = jnp.zeros((D + 1,), jnp.int32).at[owner.astype(jnp.int32)].add(
-            jnp.where(_valid_mask(words), 1, 0), mode="drop"
-        )[:D]
-        dropped = jnp.sum(jnp.maximum(cnt - bucket_cap, 0))
-        send = _bucket_by_owner(words, owner, D, bucket_cap)
-        recv = jax.lax.all_to_all(
-            send, AXIS, split_axis=0, concat_axis=0, tiled=True
-        )
-        cat = jnp.concatenate([data[0], recv.reshape(D * bucket_cap, L)], axis=0)
+        if D == 1:
+            # single shard: no routing; merge the slab directly
+            batch = words
+            dropped = jnp.int32(0)
+        else:
+            sw = sort_rows(words)
+            send, dropped = _route_sorted(sw, boundaries, D, bucket_cap)
+            recv = jax.lax.all_to_all(
+                send, AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+            batch = recv.reshape(D * bucket_cap, L)
+        cat = jnp.concatenate([data[0], batch], axis=0)
         s = sort_rows(cat)
         prev_eq = jnp.concatenate(
             [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
@@ -313,12 +344,15 @@ def _bulk_count_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         words, n_valid = _device_words(
             stream[0], starts[0], ends[0], nk_sub, cfg, canonical
         )
-        owner = _owner_of(words, boundaries)
-        send = _bucket_by_owner(words, owner, D, nk_sub)
-        recv = jax.lax.all_to_all(
-            send, AXIS, split_axis=0, concat_axis=0, tiled=True
-        )
-        local = count_kernel(data[0], recv.reshape(D * nk_sub, L))
+        if D == 1:
+            local = count_kernel(data[0], words)
+        else:
+            sw = sort_rows(words)
+            send, _ = _route_sorted(sw, boundaries, D, nk_sub)
+            recv = jax.lax.all_to_all(
+                send, AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+            local = count_kernel(data[0], recv.reshape(D * nk_sub, L))
         return (
             jax.lax.psum(n_valid, AXIS)[None],
             jax.lax.psum(local, AXIS)[None],
@@ -772,7 +806,7 @@ class ShardedCBL:
             yield np.asarray(words)
 
     # bulk path: one fused program (pipeline+route+merge) per D sub-slabs
-    _SUB_SLAB_MAX = 1 << 22
+    _SUB_SLAB_MAX = 1 << 24
 
     def _front(self):
         from ..cbl import CBL
@@ -820,10 +854,10 @@ class ShardedCBL:
         """One bulk insert step on already-sharded device inputs."""
         bucket_cap = max(4096, _next_pow2((2 * nk_sub) // self.D))
         incoming = min(self.D * nk_sub, self.D * bucket_cap)
-        # one exact count sync per slab keeps the capacity bound tight
-        need = int(self.shard_counts.max()) + incoming
-        if need > self.C:
-            self._ensure_capacity(need - self._count_upper)
+        # stay async: only sync exact counts when the pessimistic upper
+        # bound says capacity might overflow
+        if self._count_upper + incoming > self.C:
+            self._ensure_capacity(incoming)
         fn = _bulk_insert_step_fn(
             self.cfg, self.canonical, self.mesh, nk_sub, self.C, self.C,
             bucket_cap,
