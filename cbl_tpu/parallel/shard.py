@@ -319,6 +319,7 @@ def _bulk_insert_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     return jax.jit(step, donate_argnums=(0,))
 
@@ -363,6 +364,7 @@ def _bulk_count_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     return jax.jit(step)
 

@@ -261,3 +261,73 @@ def test_remove_codes_stream_and_contains_seqs():
     seq2 = bytes(b"ACTG"[c] for c in codes[10_000:])
     masks = idx.contains_seqs([seq2])
     assert len(masks) == 1 and len(masks[0]) == 10_000 - 24
+
+
+def test_packed_stream_reuse_and_cache():
+    # one staged stream drives insert + query + remove; results must match
+    # the unstaged path, with and without the words memo
+    import os
+
+    from cbl_tpu import PackedStream
+
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, size=50_000, dtype=np.uint8)
+    offsets = np.array([0, 20_000, 50_000], dtype=np.int64)
+
+    ref = CBL(k=25)
+    ref.insert_codes_stream(codes, offsets)
+
+    a = CBL(k=25)
+    ps = a.pack_stream(codes, offsets)
+    assert isinstance(ps, PackedStream)
+    a.insert_codes_stream(ps)
+    assert a.count() == ref.count()
+    t, p = a.query_codes_stream(ps)
+    assert (t, p) == (t, t)
+    # lazy query returns device scalars
+    td, pd = a.query_codes_stream(ps, lazy=True)
+    assert (int(td), int(pd)) == (t, p)
+    # remove via the same staged stream empties the index
+    a.remove_codes_stream(ps)
+    assert a.count() == 0
+
+    # config mismatch is rejected
+    b31 = CBL(k=31)
+    try:
+        b31.insert_codes_stream(ps)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    # cache disabled: same results
+    os.environ["CBL_TPU_NO_WORDS_CACHE"] = "1"
+    try:
+        c = CBL(k=25)
+        ps2 = c.pack_stream(codes, offsets)
+        c.insert_codes_stream(ps2)
+        t2, p2 = c.query_codes_stream(ps2)
+        assert c.count() == ref.count() and (t2, p2) == (t, p)
+        assert not ps2._words
+    finally:
+        os.environ.pop("CBL_TPU_NO_WORDS_CACHE", None)
+
+
+def test_insert_after_remove_interleaved_streams():
+    # interleaved stream ops must match a python-set oracle across fold
+    # boundaries (log-append inserts + tombstone removes)
+    rng = np.random.default_rng(22)
+    k = 25
+    codes = rng.integers(0, 4, size=30_000, dtype=np.uint8)
+    segs = [codes[i * 10_000 : (i + 1) * 10_000] for i in range(3)]
+    off = np.array([0, 10_000], dtype=np.int64)
+    off_h = np.array([0, 5_000], dtype=np.int64)
+
+    idx = CBL(k=k)
+    oracle = set()
+    for i, seg in enumerate(segs):
+        idx.insert_codes_stream(seg, off)
+        oracle |= {kmer_to_int(seg[j : j + k]) for j in range(len(seg) - k + 1)}
+        half = seg[:5_000]
+        idx.remove_codes_stream(half, off_h)
+        oracle -= {kmer_to_int(half[j : j + k]) for j in range(len(half) - k + 1)}
+        assert idx.count() == len(oracle), f"round {i}"
