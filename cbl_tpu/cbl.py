@@ -508,14 +508,33 @@ class CBL:
         device scalars are returned unsynced (interleaved benchmarks sum
         them and sync once per workload)."""
         ws = self.wordset
-        ws.flush()
+        ps = self._resolve_stream(codes, offsets)
+        total_dev = positive_dev = None
+        if ws.n_pending > 0:
+            # unflushed pending LOG: join against data ⊕ log in one sort per
+            # slab (never forces a fold — the interleaved-workload contract)
+            for i, (nk_pad, stream, s_arr, e_arr, _) in enumerate(ps.slabs):
+                cached = ps._words.get(i)
+                if cached is None:
+                    cached = _fused_words_fn(
+                        self.cfg, self.canonical, nk_pad
+                    )(stream, s_arr, e_arr)
+                    if ps._cache_on:
+                        ps._words[i] = cached
+                t, p = cached[1], ws.count_hits_device(cached[0])
+                total_dev = t if total_dev is None else total_dev + t
+                positive_dev = p if positive_dev is None else positive_dev + p
+            if total_dev is None:
+                return (0, 0) if not lazy else (jnp.int32(0), jnp.int32(0))
+            if lazy:
+                return total_dev, positive_dev
+            t, p = jax.device_get((total_dev, positive_dev))
+            return int(t), int(p)
         data = ws._live()
         packed_ok = self.cfg.n_bits <= 32 * ws.L - 2
         from .wordset import _count_hits_kernel, _count_hits_kernel_packed
 
         join = _count_hits_kernel_packed if packed_ok else _count_hits_kernel
-        ps = self._resolve_stream(codes, offsets)
-        total_dev = positive_dev = None
         for i, (nk_pad, stream, s_arr, e_arr, _) in enumerate(ps.slabs):
             cached = ps._words.get(i)
             if cached is not None:

@@ -577,6 +577,50 @@ def _fold_log_kernel(data, pending, tags, out_cap: int):
 
 
 @jax.jit
+def _count_hits_log_kernel(data, pending, tags, queries):
+    """Counting join against (data ⊕ pending log) WITHOUT folding: one sort
+    of C+P+Q keyed by (word, seqtag); within each word run the entry with
+    the highest sequence decides membership (data rows are implicit
+    seq-0 inserts, query rows carry seq MAX so they sort last).  The
+    'latest entry at-or-before me in my own run' test uses two prefix
+    scans and no gathers (run starts are monotone positions)."""
+    C, L = data.shape
+    P = pending.shape[0]
+    Q = queries.shape[0]
+    rows = jnp.concatenate([data, pending, queries], axis=0)
+    seqtag = jnp.concatenate(
+        [
+            jnp.ones((C,), jnp.uint32),
+            tags,
+            jnp.full((Q,), _U32_MAX, jnp.uint32),
+        ]
+    )
+    ops = tuple(rows[:, l] for l in range(L)) + (seqtag,)
+    s = jax.lax.sort(ops, num_keys=L + 1)
+    neq = s[0][1:] != s[0][:-1]
+    sentinel = s[0] == _U32_MAX
+    for l in range(1, L):
+        neq = neq | (s[l][1:] != s[l][:-1])
+        sentinel = sentinel & (s[l] == _U32_MAX)
+    run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
+    idx = jnp.arange(C + P + Q, dtype=jnp.int32)
+    my_start = jax.lax.cummax(jnp.where(run_start, idx, 0))
+    is_entry = (s[L] != _U32_MAX) & ~sentinel
+    packed = jnp.where(
+        is_entry, (idx << 1) | (s[L] & jnp.uint32(1)).astype(jnp.int32), -1
+    )
+    last = jax.lax.cummax(packed)
+    hit = (
+        (s[L] == _U32_MAX)
+        & ~sentinel
+        & (last >= 0)
+        & ((last >> 1) >= my_start)
+        & ((last & 1) == 1)
+    )
+    return jnp.sum(hit.astype(jnp.int32))
+
+
+@jax.jit
 def _pending_override_kernel(pending, tags, queries):
     """Per-query override from the unflushed pending log: (has [Q] bool,
     present [Q] bool) where `has` marks queries whose word appears in the
@@ -850,10 +894,22 @@ class DeviceWordSet:
         that exploited the index's sort order was measured on v5e and lost:
         ~3.7x slower than the monolithic sort at 2^24 rows and its XLA
         buffer assignment exceeded HBM at 2^26 — session7 log.)"""
-        self.flush()
+        return int(self.count_hits_device(words))
+
+    def count_hits_device(self, words):
+        """`count_hits` as an unsynced device scalar.  A non-empty pending
+        LOG joins in the same sort (data ⊕ log last-write-wins) — queries
+        never force a fold; the log folds only on buffer overflow or
+        count()."""
+        if self.n_pending > 0:
+            eff = min(_next_pow2(self.n_pending), self.pending_cap)
+            return _count_hits_log_kernel(
+                self._live(), self.pending[:eff], self.pending_tags[:eff],
+                words,
+            )
         if self.cfg.n_bits <= 32 * self.L - 2:
-            return int(_count_hits_kernel_packed(self._live(), words))
-        return int(_count_hits_kernel(self._live(), words))
+            return _count_hits_kernel_packed(self._live(), words)
+        return _count_hits_kernel(self._live(), words)
 
     def _invalidate_index(self) -> None:
         self._offsets = None
