@@ -174,11 +174,7 @@ def main(argv=None) -> int:
 
             sharded = ShardedCBL.from_cbl(cbl)
             _eprint(f"Index sharded across {sharded.D} device(s)")
-            valid = cbl._stream_valid(codes, offsets)
-            total = int(valid.sum())
-            positive = 0
-            for words, _, _ in cbl._stream_words(codes, valid):
-                positive += sharded.count_hits(np.asarray(words))
+            total, positive = sharded.query_codes_stream(codes, offsets)
         else:
             total, positive = cbl.query_codes_stream(codes, offsets)
         dt = time.time() - t0
