@@ -1,0 +1,300 @@
+"""Pallas TPU bitonic sort over multi-limb uint32 columns.
+
+Every hot kernel of the word-set store funnels into `jax.lax.sort` over
+uint32 key columns (build merges, query sort-joins, set algebra, log folds
+— see wordset.py).  XLA's sort materialises each of the ~log^2(N)/2
+comparator stages to HBM (measured ~150ms for 2-key 2^25 rows on v5e,
+~0.46ms/stage — pure HBM traffic).  This kernel runs the same bitonic
+network but keeps every stride < TILE inside VMEM, so a 2^25 sort touches
+HBM ~36 times instead of ~325:
+
+- one tile-sort pass: each VMEM-resident tile of T elements runs all
+  stages k <= T (directions taken from the GLOBAL element index, so tiles
+  come out alternately ascending/descending exactly as the global network
+  requires);
+- per global stage k > T: one cross-tile compare-exchange pass per stride
+  j >= T (element i pairs with i^j; each program reads its own block and
+  its partner block and writes its own block — streaming, no gathers),
+  then ONE fused in-tile pass for all strides j < T.
+
+Comparator: lexicographic over ALL columns (column 0 most significant),
+i.e. `lax.sort(cols, num_keys=len(cols))` semantics.  Callers that used
+payload columns rely only on run-grouping of the key columns, so making
+the payload a tie-break key is observably identical (and the all-ones
+sentinel still sorts last).  Ties of full rows are identical rows, so the
+output equals lax.sort's exactly.
+
+This file is TPU-first original work; the reference
+(`/root/reference/src/wordset/mod.rs`) has no analog — it mutates
+pointer-based containers per element.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_LANES_LOG = 7
+
+
+def _dtype_max(dt):
+    if jnp.issubdtype(dt, jnp.unsignedinteger):
+        return jnp.iinfo(dt).max
+    return jnp.iinfo(dt).max  # signed: INT_MAX sorts last among payloads
+
+
+def _lex_lt(a, b):
+    """a < b over column tuples, column 0 most significant."""
+    L = len(a)
+    lt = a[L - 1] < b[L - 1]
+    for l in range(L - 2, -1, -1):
+        lt = (a[l] < b[l]) | ((a[l] == b[l]) & lt)
+    return lt
+
+
+def _rows_eq(a, b):
+    eq = a[0] == b[0]
+    for l in range(1, len(a)):
+        eq = eq & (a[l] == b[l])
+    return eq
+
+
+def _cmpex(cols, li, j_log: int, asc):
+    """One compare-exchange stride within a VMEM block.
+
+    cols: list of [H, 128] arrays; li: [H, 128] local element index
+    (i = r*128 + c); asc: bool array or scalar — ascending direction mask.
+    Element i exchanges with i ^ (1 << j_log)."""
+    j = 1 << j_log
+    if j_log >= _LANES_LOG:
+        axis, sh = 0, j >> _LANES_LOG
+    else:
+        axis, sh = 1, j
+    size = cols[0].shape[axis]
+    lower = (li & j) == 0
+    # roll is cyclic and shifts must be non-negative: size-sh ≡ -sh
+    other = [
+        jnp.where(
+            lower, pltpu.roll(x, size - sh, axis), pltpu.roll(x, sh, axis)
+        )
+        for x in cols
+    ]
+    want_min = lower == asc
+    lt_os = _lex_lt(other, cols)
+    take_other = jnp.where(
+        want_min, lt_os, ~(lt_os | _rows_eq(other, cols))
+    )
+    return [jnp.where(take_other, o, s) for o, s in zip(other, cols)]
+
+
+def _local_iota(H: int):
+    r = jax.lax.broadcasted_iota(jnp.int32, (H, _LANES), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (H, _LANES), 1)
+    return r * _LANES + c
+
+
+@lru_cache(maxsize=None)
+def _tilesort_call(dts, t_log: int, interpret: bool):
+    """Pass 1: full bitonic sort of each tile, global directions.
+
+    After it, tile g is sorted ascending iff g is even — the state the
+    first global merge stage (k = 2T) expects."""
+    L = len(dts)
+    H = (1 << t_log) // _LANES
+
+    def kernel(*refs):
+        cols = [r[...] for r in refs[:L]]
+        g = pl.program_id(0)
+        li = _local_iota(H)
+        for k_log in range(1, t_log + 1):
+            if k_log < t_log:
+                asc = (li & (1 << k_log)) == 0
+            else:
+                asc = (g & 1) == 0  # bit t_log of the global index
+            for j_log in range(k_log - 1, -1, -1):
+                cols = _cmpex(cols, li, j_log, asc)
+        for l in range(L):
+            refs[L + l][...] = cols[l]
+
+    spec = pl.BlockSpec((H, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def run(cols2d):
+        G = cols2d[0].shape[0] // H
+        return pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[spec] * L,
+            out_specs=[spec] * L,
+            out_shape=[
+                jax.ShapeDtypeStruct(cols2d[0].shape, dt) for dt in dts
+            ],
+            interpret=interpret,
+        )(*cols2d)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _cross_call(dts, t_log: int, jt_log: int, d_log: int, interpret: bool):
+    """One cross-tile compare-exchange: stride j = T << jt_log within the
+    global stage k = T << d_log.  Program g reads tile g and tile
+    g ^ (1 << jt_log) and writes tile g (2 reads + 1 write per element)."""
+    L = len(dts)
+    H = (1 << t_log) // _LANES
+    jt = 1 << jt_log
+
+    def kernel(*refs):
+        s = [r[...] for r in refs[:L]]
+        o = [r[...] for r in refs[L : 2 * L]]
+        g = pl.program_id(0)
+        lower = (g & jt) == 0
+        asc = ((g >> d_log) & 1) == 0
+        want_min = lower == asc
+        lt_os = _lex_lt(o, s)
+        take_other = jnp.where(want_min, lt_os, ~(lt_os | _rows_eq(o, s)))
+        for l in range(L):
+            refs[2 * L + l][...] = jnp.where(take_other, o[l], s[l])
+
+    own = pl.BlockSpec((H, _LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    par = pl.BlockSpec(
+        (H, _LANES), lambda g: (g ^ jt, 0), memory_space=pltpu.VMEM
+    )
+
+    def run(cols2d):
+        G = cols2d[0].shape[0] // H
+        return pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[own] * L + [par] * L,
+            out_specs=[own] * L,
+            out_shape=[
+                jax.ShapeDtypeStruct(cols2d[0].shape, dt) for dt in dts
+            ],
+            interpret=interpret,
+        )(*cols2d, *cols2d)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _intile_call(dts, t_log: int, d_log: int, interpret: bool):
+    """Fused strides j = T/2 .. 1 of the global stage k = T << d_log.
+    Direction is constant per tile: bit (t_log + d_log) of the global
+    index = bit d_log of the tile index."""
+    L = len(dts)
+    H = (1 << t_log) // _LANES
+
+    def kernel(*refs):
+        cols = [r[...] for r in refs[:L]]
+        g = pl.program_id(0)
+        li = _local_iota(H)
+        asc = ((g >> d_log) & 1) == 0
+        for j_log in range(t_log - 1, -1, -1):
+            cols = _cmpex(cols, li, j_log, asc)
+        for l in range(L):
+            refs[L + l][...] = cols[l]
+
+    spec = pl.BlockSpec((H, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def run(cols2d):
+        G = cols2d[0].shape[0] // H
+        return pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[spec] * L,
+            out_specs=[spec] * L,
+            out_shape=[
+                jax.ShapeDtypeStruct(cols2d[0].shape, dt) for dt in dts
+            ],
+            interpret=interpret,
+        )(*cols2d)
+
+    return run
+
+
+def _tile_log_for(L: int) -> int:
+    """Largest tile (log2 elements) whose double-buffered in+out column
+    blocks fit comfortably in ~12MB of VMEM."""
+    if L <= 2:
+        return 18
+    if L <= 5:
+        return 17
+    return 16
+
+
+def sort_cols_pallas(cols, t_log: int | None = None, interpret: bool = False):
+    """Sort equal-length 1-D integer columns lexicographically (column 0
+    most significant; every column is a key).  Length must be a power of
+    two and a multiple of 1024.  Returns the sorted column tuple."""
+    cols = tuple(cols)
+    N = cols[0].shape[0]
+    n_log = N.bit_length() - 1
+    assert N == 1 << n_log and N % (8 * _LANES) == 0, N
+    L = len(cols)
+    if t_log is None:
+        t_log = _tile_log_for(L)
+    t_log = min(t_log, n_log)
+    dts = tuple(c.dtype for c in cols)
+    cols2d = tuple(c.reshape(N // _LANES, _LANES) for c in cols)
+
+    cols2d = _tilesort_call(dts, t_log, interpret)(cols2d)
+    for k_log in range(t_log + 1, n_log + 1):
+        d_log = k_log - t_log
+        for j_log in range(k_log - 1, t_log - 1, -1):
+            cols2d = _cross_call(
+                dts, t_log, j_log - t_log, d_log, interpret
+            )(cols2d)
+        cols2d = _intile_call(dts, t_log, d_log, interpret)(cols2d)
+    return tuple(c.reshape(N) for c in cols2d)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length() if n > 1 else 1
+
+
+_MIN_PALLAS_N = 1 << 20
+
+
+def _use_pallas(N: int) -> bool:
+    mode = os.environ.get("CBL_TPU_SORT", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    return (
+        N >= _MIN_PALLAS_N
+        and jax.default_backend() not in ("cpu",)
+    )
+
+
+def sort_cols_auto(cols):
+    """`jax.lax.sort(cols, num_keys=len(cols))` with the Pallas bitonic
+    network on TPU for large inputs.  Handles non-power-of-two lengths by
+    padding every column with its dtype max (pads sort to the back and are
+    sliced off; all-max sentinel rows are interchangeable with pads, so
+    the leading N rows are multiset-exact)."""
+    cols = tuple(cols)
+    N = cols[0].shape[0]
+    if not _use_pallas(N):
+        out = jax.lax.sort(cols, num_keys=len(cols))
+        return out if isinstance(out, tuple) else (out,)
+    P = _next_pow2(max(N, 1 << 13))
+    if P != N:
+        padded = tuple(
+            jnp.concatenate(
+                [c, jnp.full((P - N,), _dtype_max(c.dtype), dtype=c.dtype)]
+            )
+            for c in cols
+        )
+    else:
+        padded = cols
+    out = sort_cols_pallas(padded)
+    if P != N:
+        out = tuple(c[:N] for c in out)
+    return out

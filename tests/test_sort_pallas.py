@@ -1,0 +1,85 @@
+"""Pallas bitonic sort parity vs lax.sort (interpret mode on CPU).
+
+Small tiles (t_log) force the cross-tile and fused-in-tile global merge
+passes to run, exercising every kernel of the network; with all columns
+as keys the output is value-identical to lax.sort (full-row ties are
+identical rows)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cbl_tpu.ops import sort_pallas
+
+
+def _oracle(cols):
+    out = jax.lax.sort(tuple(cols), num_keys=len(cols))
+    return out if isinstance(out, tuple) else (out,)
+
+
+def _check(cols, t_log):
+    got = sort_pallas.sort_cols_pallas(
+        tuple(jnp.asarray(c) for c in cols), t_log=t_log, interpret=True
+    )
+    want = _oracle(tuple(jnp.asarray(c) for c in cols))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("L", [1, 2, 3])
+@pytest.mark.parametrize("n_log,t_log", [(10, 10), (13, 10), (14, 11)])
+def test_matches_lax_sort(L, n_log, t_log):
+    rng = np.random.default_rng(n_log * 10 + L)
+    N = 1 << n_log
+    # duplicates (small value range on the minor key) + sentinel rows
+    cols = [rng.integers(0, 7, size=N).astype(np.uint32) for _ in range(L)]
+    sent = rng.random(N) < 0.05
+    for c in cols:
+        c[sent] = 0xFFFFFFFF
+    _check(cols, t_log)
+
+
+def test_wide_values_and_runs():
+    rng = np.random.default_rng(0)
+    N = 1 << 13
+    hi = rng.integers(0, 1 << 32, size=N, dtype=np.uint64).astype(np.uint32)
+    lo = rng.integers(0, 1 << 32, size=N, dtype=np.uint64).astype(np.uint32)
+    hi[: N // 2] = hi[N // 2 :]  # force long equal-prefix runs
+    _check([hi, lo], t_log=10)
+
+
+def test_int32_payload_column():
+    rng = np.random.default_rng(1)
+    N = 1 << 13
+    key = rng.integers(0, 50, size=N).astype(np.uint32)
+    pay = np.arange(N, dtype=np.int32)
+    rng.shuffle(pay)
+    got = sort_pallas.sort_cols_pallas(
+        (jnp.asarray(key), jnp.asarray(pay)), t_log=10, interpret=True
+    )
+    want = _oracle((jnp.asarray(key), jnp.asarray(pay)))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_pad_then_slice_matches_unpadded_sort():
+    """The auto wrapper's pad-with-dtype-max scheme: sorted(padded)[:N]
+    must equal sorted(original) — pads sort to the back past every
+    original row (including rows with a max-valued leading limb)."""
+    rng = np.random.default_rng(2)
+    N = (1 << 13) + (1 << 11)  # non-power-of-two
+    a = rng.integers(0, 1 << 16, size=N).astype(np.uint32)
+    b = rng.integers(0, 1 << 16, size=N).astype(np.uint32)
+    a[rng.random(N) < 0.03] = 0xFFFFFFFF
+    padded = sort_pallas._next_pow2(N)
+    ap = np.full(padded, 0xFFFFFFFF, np.uint32)
+    bp = np.full(padded, 0xFFFFFFFF, np.uint32)
+    ap[:N], bp[:N] = a, b
+    got = sort_pallas.sort_cols_pallas(
+        (jnp.asarray(ap), jnp.asarray(bp)), t_log=10, interpret=True
+    )
+    want = _oracle((jnp.asarray(a), jnp.asarray(b)))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g)[:N], np.asarray(w))
