@@ -265,7 +265,7 @@ def _use_pallas(N: int) -> bool:
     mode = os.environ.get("CBL_TPU_SORT", "auto")
     if mode == "xla":
         return False
-    if mode == "pallas":
+    if mode == "pallas":  # forced (tests / probes) — interpret on CPU
         return True
     return (
         N >= _MIN_PALLAS_N
@@ -294,7 +294,9 @@ def sort_cols_auto(cols):
         )
     else:
         padded = cols
-    out = sort_cols_pallas(padded)
+    out = sort_cols_pallas(
+        padded, interpret=jax.default_backend() in ("cpu",)
+    )
     if P != N:
         out = tuple(c[:N] for c in out)
     return out

@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import limbs
 from ..config import CBLConfig
+from ..ops.sort_pallas import sort_cols_auto
 from ..wordset import (
     MIN_CAP,
     _U32_MAX,
@@ -116,6 +117,7 @@ def _insert_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     return jax.jit(step, donate_argnums=(0,))
 
@@ -145,7 +147,7 @@ def _remove_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
             ]
         )
         ops = tuple(rows[:, l] for l in range(L)) + (tag,)
-        sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
+        sorted_ops = sort_cols_auto(ops)
         s = jnp.stack(sorted_ops[:L], axis=-1)
         is_data = sorted_ops[L] == 1
         prev_eq = jnp.concatenate(
@@ -161,6 +163,7 @@ def _remove_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     return jax.jit(step, donate_argnums=(0,))
 
@@ -202,6 +205,7 @@ def _contains_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P()),
         out_specs=P(AXIS),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     return jax.jit(step)
 
@@ -234,6 +238,7 @@ def _count_hits_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P()),
         out_specs=P(AXIS),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     return jax.jit(step)
 
@@ -404,7 +409,11 @@ def _setop_fn(cfg: CBLConfig, mesh: Mesh, op: str, Ca: int, Cb: int, Cout: int):
         return out[None], n[None]
 
     step = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P(AXIS))
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     return jax.jit(step)
 

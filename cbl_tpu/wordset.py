@@ -39,6 +39,7 @@ import numpy as np
 
 from . import limbs
 from .config import CBLConfig
+from .ops.sort_pallas import sort_cols_auto
 
 MIN_CAP = 4096
 DEFAULT_PENDING_CAP = 1 << 21
@@ -50,12 +51,13 @@ def _next_pow2(n: int) -> int:
 
 
 def sort_rows(x):
-    """Sort [N, L] rows ascending (lexicographic over limbs = numeric)."""
+    """Sort [N, L] rows ascending (lexicographic over limbs = numeric).
+
+    Dispatches to the Pallas bitonic network on TPU for large inputs
+    (ops/sort_pallas.py); identical output either way."""
     L = x.shape[-1]
     cols = tuple(x[:, l] for l in range(L))
-    out = jax.lax.sort(cols, num_keys=L)
-    if L == 1:
-        out = (out,) if not isinstance(out, tuple) else out
+    out = sort_cols_auto(cols)
     return jnp.stack(out, axis=-1)
 
 
@@ -144,7 +146,7 @@ def _setop_sort_kernel(a, b, op: str, out_cap: int):
         ]
     )
     ops = tuple(rows[:, l] for l in range(L)) + (tag,)
-    sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
+    sorted_ops = sort_cols_auto(ops)
     s = jnp.stack(sorted_ops[:L], axis=-1)
     is_a = sorted_ops[L] == 1
     valid = _valid_mask(s)
@@ -188,7 +190,7 @@ def _setop_sort_kernel_packed(a, b, op: str, out_cap: int):
     bt = limbs.shift_left(b, 1)
     rows = jnp.concatenate([at, bt], axis=0)
     cols = tuple(rows[:, l] for l in range(L))
-    sc = jax.lax.sort(cols, num_keys=L)
+    sc = sort_cols_auto(cols)
     is_a = (sc[L - 1] & one) == one
     valid = sc[0] != _U32_MAX  # see _count_hits_kernel_packed
     # word-level adjacency (ignore the tag bit in the last limb)
@@ -360,7 +362,7 @@ def _count_hits_kernel(data, queries):
         ]
     )
     ops = tuple(rows[:, l] for l in range(L)) + (tag,)
-    sorted_ops = jax.lax.sort(ops, num_keys=L)
+    sorted_ops = sort_cols_auto(ops)
     is_data = sorted_ops[L] == 1
     has_data, valid = _sortjoin_hits(sorted_ops[:L], is_data)
     hits = (~is_data) & has_data & valid
@@ -388,7 +390,7 @@ def _count_hits_kernel_packed(data, queries):
     q = limbs.shift_left(queries, 1)
     rows = jnp.concatenate([d, q], axis=0)
     cols = tuple(rows[:, l] for l in range(L))
-    s = jax.lax.sort(cols, num_keys=L)
+    s = sort_cols_auto(cols)
     is_data = (s[L - 1] & one) == one
     # sentinel rows: after the shift their limb 0 is still all-ones, while
     # any valid shifted word's limb 0 is strictly smaller (n_bits+1 < 32L)
@@ -424,14 +426,14 @@ def _contains_sortjoin_kernel(data, queries):
         ]
     )
     ops = tuple(rows[:, l] for l in range(L)) + (idx,)
-    sorted_ops = jax.lax.sort(ops, num_keys=L)
+    sorted_ops = sort_cols_auto(ops)
     qidx = sorted_ops[L]
     is_data = qidx == Q
     has_data, valid = _sortjoin_hits(sorted_ops[:L], is_data)
     hits = (~is_data) & has_data & valid
     # un-sort by a cheap 1-key sort on the position payload (data rows carry
     # position Q and fall off the end) — scatters would cost O(C+Q) updates
-    _, ordered = jax.lax.sort((qidx, hits.astype(jnp.uint32)), num_keys=1)
+    _, ordered = sort_cols_auto((qidx, hits.astype(jnp.uint32)))
     return ordered[:Q].astype(bool)
 
 
@@ -556,7 +558,7 @@ def _fold_log_kernel(data, pending, tags, out_cap: int):
         [jnp.ones((C,), jnp.uint32), tags]
     )
     ops = tuple(rows[:, l] for l in range(L)) + (seqtag,)
-    s = jax.lax.sort(ops, num_keys=L + 1)
+    s = sort_cols_auto(ops)
     neq = s[0][1:] != s[0][:-1]
     valid_inv = s[0] == _U32_MAX
     for l in range(1, L):
@@ -596,7 +598,7 @@ def _count_hits_log_kernel(data, pending, tags, queries):
         ]
     )
     ops = tuple(rows[:, l] for l in range(L)) + (seqtag,)
-    s = jax.lax.sort(ops, num_keys=L + 1)
+    s = sort_cols_auto(ops)
     neq = s[0][1:] != s[0][:-1]
     sentinel = s[0] == _U32_MAX
     for l in range(1, L):
@@ -639,7 +641,7 @@ def _pending_override_kernel(pending, tags, queries):
         [jnp.full((P,), Q, jnp.int32), jnp.arange(Q, dtype=jnp.int32)]
     )
     ops = tuple(rows[:, l] for l in range(L)) + (seqtag, qpos)
-    s = jax.lax.sort(ops, num_keys=L + 1)
+    s = sort_cols_auto(ops)
     neq = s[0][1:] != s[0][:-1]
     sentinel = s[0] == _U32_MAX
     for l in range(1, L):
@@ -656,9 +658,8 @@ def _pending_override_kernel(pending, tags, queries):
     has = (last >= 0) & ((last >> 1) >= my_start)
     present = has & ((last & 1) == 1)
     # restore query order: 1-key sort on the position payload
-    _, has_o, present_o = jax.lax.sort(
-        (s[L + 1], has.astype(jnp.uint32), present.astype(jnp.uint32)),
-        num_keys=1,
+    _, has_o, present_o = sort_cols_auto(
+        (s[L + 1], has.astype(jnp.uint32), present.astype(jnp.uint32))
     )
     return has_o[:Q].astype(bool), present_o[:Q].astype(bool)
 

@@ -83,3 +83,33 @@ def test_pad_then_slice_matches_unpadded_sort():
     want = _oracle((jnp.asarray(a), jnp.asarray(b)))
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g)[:N], np.asarray(w))
+
+
+def test_cbl_end_to_end_forced_pallas(monkeypatch):
+    """Whole-stack smoke with every sort forced through the Pallas network
+    (interpret mode on CPU): build + query + export must match a default
+    (lax.sort) build exactly.
+
+    The sort dispatch is read at TRACE time, so the jit caches are cleared
+    around the forced-pallas section — otherwise this test would reuse (or
+    leak) lax.sort traces keyed only by shape."""
+    from cbl_tpu import CBL
+
+    rng = np.random.default_rng(7)
+    seq = bytes(
+        np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, 3000)]
+    )
+    ref = CBL.new_canonical(k=25)
+    ref.insert_seq(seq)
+    want_words = ref.wordset.words_array()
+
+    monkeypatch.setenv("CBL_TPU_SORT", "pallas")
+    jax.clear_caches()
+    try:
+        idx = CBL.new_canonical(k=25)
+        idx.insert_seq(seq)
+        assert idx.count() == ref.count()
+        assert bool(idx.contains_seq(seq).all())
+        np.testing.assert_array_equal(idx.wordset.words_array(), want_words)
+    finally:
+        jax.clear_caches()  # drop interpret-pallas traces for later tests
