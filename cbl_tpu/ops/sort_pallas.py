@@ -141,79 +141,96 @@ def _tilesort_call(dts, t_log: int, interpret: bool):
 
 
 @lru_cache(maxsize=None)
-def _cross_call(dts, t_log: int, jt_log: int, d_log: int, interpret: bool):
-    """One cross-tile compare-exchange: stride j = T << jt_log within the
-    global stage k = T << d_log.  Program g reads tile g and tile
-    g ^ (1 << jt_log) and writes tile g (2 reads + 1 write per element)."""
+def _cross_call(dts, t_log: int, interpret: bool):
+    """One cross-tile compare-exchange pass: element i pairs with i ^ j for
+    a stride j >= T.  The tile-stride jt = j/T and the stage-bit position d
+    (k = T << d) are SCALAR-PREFETCH parameters — one compiled kernel
+    serves every (stage, stride) pass of the network; the partner block
+    index `g ^ jt` is computed from the prefetched scalar in the index
+    map.  Program g reads tile g and tile g^jt and writes tile g
+    (streaming: 2 reads + 1 write per element, no gathers)."""
     L = len(dts)
     H = (1 << t_log) // _LANES
-    jt = 1 << jt_log
 
-    def kernel(*refs):
+    def kernel(params, *refs):
         s = [r[...] for r in refs[:L]]
         o = [r[...] for r in refs[L : 2 * L]]
         g = pl.program_id(0)
+        jt, d = params[0], params[1]
         lower = (g & jt) == 0
-        asc = ((g >> d_log) & 1) == 0
+        asc = ((g >> d) & 1) == 0
         want_min = lower == asc
         lt_os = _lex_lt(o, s)
         take_other = jnp.where(want_min, lt_os, ~(lt_os | _rows_eq(o, s)))
         for l in range(L):
             refs[2 * L + l][...] = jnp.where(take_other, o[l], s[l])
 
-    own = pl.BlockSpec((H, _LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    own = pl.BlockSpec(
+        (H, _LANES), lambda g, p: (g, 0), memory_space=pltpu.VMEM
+    )
     par = pl.BlockSpec(
-        (H, _LANES), lambda g: (g ^ jt, 0), memory_space=pltpu.VMEM
+        (H, _LANES), lambda g, p: (g ^ p[0], 0), memory_space=pltpu.VMEM
     )
 
-    def run(cols2d):
+    def run(cols2d, jt: int, d_log: int):
         G = cols2d[0].shape[0] // H
-        return pl.pallas_call(
-            kernel,
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[own] * L + [par] * L,
             out_specs=[own] * L,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(cols2d[0].shape, dt) for dt in dts
             ],
             interpret=interpret,
-        )(*cols2d, *cols2d)
+        )(jnp.array([jt, d_log], jnp.int32), *cols2d, *cols2d)
 
     return run
 
 
 @lru_cache(maxsize=None)
-def _intile_call(dts, t_log: int, d_log: int, interpret: bool):
-    """Fused strides j = T/2 .. 1 of the global stage k = T << d_log.
-    Direction is constant per tile: bit (t_log + d_log) of the global
-    index = bit d_log of the tile index."""
+def _intile_call(dts, t_log: int, interpret: bool):
+    """Fused strides j = T/2 .. 1 of the global stage k = T << d.
+    Direction is constant per tile — bit (t_log + d) of the global index =
+    bit d of the tile index — with d a scalar-prefetch parameter, so one
+    compiled kernel serves every global stage."""
     L = len(dts)
     H = (1 << t_log) // _LANES
 
-    def kernel(*refs):
+    def kernel(params, *refs):
         cols = [r[...] for r in refs[:L]]
         g = pl.program_id(0)
         li = _local_iota(H)
-        asc = ((g >> d_log) & 1) == 0
+        asc = ((g >> params[0]) & 1) == 0
         for j_log in range(t_log - 1, -1, -1):
             cols = _cmpex(cols, li, j_log, asc)
         for l in range(L):
             refs[L + l][...] = cols[l]
 
-    spec = pl.BlockSpec((H, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec(
+        (H, _LANES), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+    )
 
-    def run(cols2d):
+    def run(cols2d, d_log: int):
         G = cols2d[0].shape[0] // H
-        return pl.pallas_call(
-            kernel,
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[spec] * L,
             out_specs=[spec] * L,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(cols2d[0].shape, dt) for dt in dts
             ],
             interpret=interpret,
-        )(*cols2d)
+        )(jnp.array([d_log], jnp.int32), *cols2d)
 
     return run
 
@@ -221,6 +238,9 @@ def _intile_call(dts, t_log: int, d_log: int, interpret: bool):
 def _tile_log_for(L: int) -> int:
     """Largest tile (log2 elements) whose double-buffered in+out column
     blocks fit comfortably in ~12MB of VMEM."""
+    env = os.environ.get("CBL_TPU_SORT_TLOG")
+    if env:
+        return int(env)
     if L <= 2:
         return 18
     if L <= 5:
@@ -244,13 +264,13 @@ def sort_cols_pallas(cols, t_log: int | None = None, interpret: bool = False):
     cols2d = tuple(c.reshape(N // _LANES, _LANES) for c in cols)
 
     cols2d = _tilesort_call(dts, t_log, interpret)(cols2d)
+    cross = _cross_call(dts, t_log, interpret)
+    intile = _intile_call(dts, t_log, interpret)
     for k_log in range(t_log + 1, n_log + 1):
         d_log = k_log - t_log
         for j_log in range(k_log - 1, t_log - 1, -1):
-            cols2d = _cross_call(
-                dts, t_log, j_log - t_log, d_log, interpret
-            )(cols2d)
-        cols2d = _intile_call(dts, t_log, d_log, interpret)(cols2d)
+            cols2d = cross(cols2d, 1 << (j_log - t_log), d_log)
+        cols2d = intile(cols2d, d_log)
     return tuple(c.reshape(N) for c in cols2d)
 
 
