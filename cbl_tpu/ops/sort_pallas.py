@@ -65,6 +65,14 @@ def _rows_eq(a, b):
     return eq
 
 
+def _sel(cond, a, b):
+    """Elementwise `cond ? a : b` via bitwise masks (Mosaic rejects the
+    i1-predicate vector select over rolled operands with an unsupported
+    i8->i1 truncation; two's-complement masks sidestep predicates)."""
+    m = jnp.zeros((), a.dtype) - cond.astype(a.dtype)  # 0 or all-ones
+    return (a & m) | (b & ~m)
+
+
 def _cmpex(cols, li, j_log: int, asc):
     """One compare-exchange stride within a VMEM block.
 
@@ -80,17 +88,15 @@ def _cmpex(cols, li, j_log: int, asc):
     lower = (li & j) == 0
     # roll is cyclic and shifts must be non-negative: size-sh ≡ -sh
     other = [
-        jnp.where(
-            lower, pltpu.roll(x, size - sh, axis), pltpu.roll(x, sh, axis)
-        )
+        _sel(lower, pltpu.roll(x, size - sh, axis), pltpu.roll(x, sh, axis))
         for x in cols
     ]
-    want_min = lower == asc
+    want_min = ~(lower ^ asc)
     lt_os = _lex_lt(other, cols)
-    take_other = jnp.where(
-        want_min, lt_os, ~(lt_os | _rows_eq(other, cols))
+    take_other = (want_min & lt_os) | ~(
+        want_min | lt_os | _rows_eq(other, cols)
     )
-    return [jnp.where(take_other, o, s) for o, s in zip(other, cols)]
+    return [_sel(take_other, o, s) for o, s in zip(other, cols)]
 
 
 def _local_iota(H: int):
@@ -159,11 +165,13 @@ def _cross_call(dts, t_log: int, interpret: bool):
         jt, d = params[0], params[1]
         lower = (g & jt) == 0
         asc = ((g >> d) & 1) == 0
-        want_min = lower == asc
+        want_min = ~(lower ^ asc)
         lt_os = _lex_lt(o, s)
-        take_other = jnp.where(want_min, lt_os, ~(lt_os | _rows_eq(o, s)))
+        take_other = (want_min & lt_os) | ~(
+            want_min | lt_os | _rows_eq(o, s)
+        )
         for l in range(L):
-            refs[2 * L + l][...] = jnp.where(take_other, o[l], s[l])
+            refs[2 * L + l][...] = _sel(take_other, o[l], s[l])
 
     own = pl.BlockSpec(
         (H, _LANES), lambda g, p: (g, 0), memory_space=pltpu.VMEM
