@@ -286,6 +286,90 @@ def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length() if n > 1 else 1
 
 
+_ASC_BIT = 30  # (g >> 30) & 1 == 0 for every realistic tile index
+
+
+def merge_cols_pallas(cols_a, cols_b, t_log: int | None = None,
+                      interpret: bool = False):
+    """Merge two column tuples that are EACH sorted ascending (all columns
+    keys, lexicographic) into one fully sorted tuple of length |a|+|b|.
+
+    This is the structural win over a full sort: a bitonic MERGE is
+    ~log2(N) compare-exchange strides versus ~log2(N)^2/2 for the full
+    network (26 vs ~325 at 2^26) — and `jax.lax.sort` on TPU is
+    comparator-bound, so maintaining sortedness and merging is an order of
+    magnitude cheaper than re-sorting (wordset.py's merge/join/set-op
+    kernels all exploit this).
+
+    Mechanics: pad both sides to a common power-of-two M with dtype-max
+    rows (pads sort to the back), reverse B (one streaming XLA pass), so
+    [A asc | B desc] is a single bitonic sequence; then run the existing
+    cross-tile/in-tile compare-exchange passes for strides M..1 with the
+    direction pinned ascending (stage bit _ASC_BIT of any tile index is 0).
+    Output rows [:|a|+|b|] are the exact `lax.sort(concat)` result."""
+    cols_a = tuple(cols_a)
+    cols_b = tuple(cols_b)
+    Na, Nb = cols_a[0].shape[0], cols_b[0].shape[0]
+    M = max(_next_pow2(max(Na, Nb)), 1 << 12)
+    L = len(cols_a)
+    dts = tuple(c.dtype for c in cols_a)
+
+    def _pad(c, n):
+        if n == M:
+            return c
+        return jnp.concatenate(
+            [c, jnp.full((M - n,), _dtype_max(c.dtype), dtype=c.dtype)]
+        )
+
+    if t_log is None:
+        t_log = _tile_log_for(L)
+    t_log = min(t_log, M.bit_length())  # N = 2M, n_log = log2(M) + 1
+    cat = tuple(
+        jnp.concatenate([_pad(a, Na), _pad(b, Nb)[::-1]])
+        for a, b in zip(cols_a, cols_b)
+    )
+    N = 2 * M
+    cols2d = tuple(c.reshape(N // _LANES, _LANES) for c in cat)
+    cross = _cross_call(dts, t_log, interpret)
+    intile = _intile_call(dts, t_log, interpret)
+    for j_log in range(M.bit_length() - 1, t_log - 1, -1):
+        cols2d = cross(cols2d, 1 << (j_log - t_log), _ASC_BIT)
+    cols2d = intile(cols2d, _ASC_BIT)
+    out = tuple(c.reshape(N) for c in cols2d)
+    if N != Na + Nb:
+        out = tuple(c[: Na + Nb] for c in out)
+    return out
+
+
+_MIN_PALLAS_MERGE_N = 1 << 19
+
+
+def _use_pallas_merge(n: int) -> bool:
+    mode = os.environ.get("CBL_TPU_MERGE_KERNEL", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    return n >= _MIN_PALLAS_MERGE_N and jax.default_backend() not in ("cpu",)
+
+
+def merge_cols_auto(cols_a, cols_b):
+    """Merge two each-sorted column tuples; equals
+    `lax.sort(concat, num_keys=all)` exactly.  Pallas bitonic-merge on TPU
+    above the size threshold; lax.sort of the concatenation otherwise."""
+    cols_a, cols_b = tuple(cols_a), tuple(cols_b)
+    n = cols_a[0].shape[0] + cols_b[0].shape[0]
+    if _use_pallas_merge(n):
+        return merge_cols_pallas(
+            cols_a, cols_b, interpret=jax.default_backend() in ("cpu",)
+        )
+    cat = tuple(
+        jnp.concatenate([a, b]) for a, b in zip(cols_a, cols_b)
+    )
+    out = jax.lax.sort(cat, num_keys=len(cat))
+    return out if isinstance(out, tuple) else (out,)
+
+
 _MIN_PALLAS_N = 1 << 20
 
 

@@ -113,3 +113,59 @@ def test_cbl_end_to_end_forced_pallas(monkeypatch):
         np.testing.assert_array_equal(idx.wordset.words_array(), want_words)
     finally:
         jax.clear_caches()  # drop interpret-pallas traces for later tests
+
+
+@pytest.mark.parametrize("na_log,nb_log,t_log", [(12, 12, 10), (13, 11, 10),
+                                                 (12, 12, 13)])
+def test_merge_matches_sorted_concat(na_log, nb_log, t_log):
+    rng = np.random.default_rng(na_log * 7 + nb_log)
+    Na, Nb = 1 << na_log, 1 << nb_log
+
+    # multi-column sorted sides: sort rows via lexsort on the oracle
+    def sorted_cols(n, seed):
+        r = np.random.default_rng(seed)
+        c0 = r.integers(0, 1 << 16, size=n).astype(np.uint32)
+        c1 = r.integers(0, 1 << 16, size=n).astype(np.uint32)
+        c0[r.random(n) < 0.04] = 0xFFFFFFFF
+        c1[c0 == 0xFFFFFFFF] = 0xFFFFFFFF
+        order = np.lexsort((c1, c0))
+        return c0[order], c1[order]
+
+    ca = sorted_cols(Na, 1)
+    cb = sorted_cols(Nb, 2)
+    got = sort_pallas.merge_cols_pallas(
+        tuple(jnp.asarray(c) for c in ca),
+        tuple(jnp.asarray(c) for c in cb),
+        t_log=t_log,
+        interpret=True,
+    )
+    cat = tuple(
+        jnp.concatenate([jnp.asarray(x), jnp.asarray(y)])
+        for x, y in zip(ca, cb)
+    )
+    want = _oracle(cat)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_merge_with_duplicates_and_payload():
+    rng = np.random.default_rng(5)
+    Na = Nb = 1 << 12
+    ka = np.sort(rng.integers(0, 64, size=Na).astype(np.uint32))
+    kb = np.sort(rng.integers(0, 64, size=Nb).astype(np.uint32))
+    pa = np.arange(Na, dtype=np.int32)
+    pb = np.arange(Nb, dtype=np.int32) + Na
+    # payload must ride as a tie-break key: sort each side by (key, payload)
+    oa = np.lexsort((pa, ka)); ob = np.lexsort((pb, kb))
+    got = sort_pallas.merge_cols_pallas(
+        (jnp.asarray(ka[oa]), jnp.asarray(pa[oa])),
+        (jnp.asarray(kb[ob]), jnp.asarray(pb[ob])),
+        t_log=10,
+        interpret=True,
+    )
+    want = _oracle((
+        jnp.concatenate([jnp.asarray(ka[oa]), jnp.asarray(kb[ob])]),
+        jnp.concatenate([jnp.asarray(pa[oa]), jnp.asarray(pb[ob])]),
+    ))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
