@@ -145,23 +145,33 @@ def _fused_words_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
 
 
 @lru_cache(maxsize=None)
-def _fused_query_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
+def _fused_query_fn(cfg: CBLConfig, canonical: bool, nk_pad: int,
+                    holes: bool = False):
     """(stream, starts, ends, data) -> (total, positive) device scalars.
 
-    The join is one packed-tag sort of C+Q (`_count_hits_kernel_packed`);
-    it tolerates holes/duplicates in `data`, so the query path never forces
-    a compaction sort of the index."""
-    from .wordset import _count_hits_kernel, _count_hits_kernel_packed
+    With a contiguous sorted index (holes=False, the common case) the join
+    sorts only the query side and bitonic-MERGES it with the index
+    (`_count_hits_merge_kernel`, ~log N strides).  A holes index (sentinel
+    rows interspersed by a deferred-compaction merge) is not monotone, so
+    it falls back to the monolithic packed-tag sort of C+Q, which
+    tolerates anything."""
+    from .wordset import (
+        _count_hits_kernel,
+        _count_hits_kernel_packed,
+        _count_hits_merge_kernel,
+    )
 
     packed_ok = cfg.n_bits <= 32 * cfg.word_limbs - 2
 
     def run(stream, starts, ends, data):
         words, n_valid = _device_words(stream, starts, ends, nk_pad, cfg,
                                        canonical)
-        if packed_ok:
+        if not packed_ok:
+            positive = _count_hits_kernel(data, words)
+        elif holes:
             positive = _count_hits_kernel_packed(data, words)
         else:
-            positive = _count_hits_kernel(data, words)
+            positive = _count_hits_merge_kernel(data, words)
         return n_valid, positive
 
     return jax.jit(run)
@@ -532,16 +542,25 @@ class CBL:
             return int(t), int(p)
         data = ws._live()
         packed_ok = self.cfg.n_bits <= 32 * ws.L - 2
-        from .wordset import _count_hits_kernel, _count_hits_kernel_packed
+        from .wordset import (
+            _count_hits_kernel,
+            _count_hits_kernel_packed,
+            _count_hits_merge_kernel,
+        )
 
-        join = _count_hits_kernel_packed if packed_ok else _count_hits_kernel
+        if not packed_ok:
+            join = _count_hits_kernel
+        elif ws._holes:
+            join = _count_hits_kernel_packed
+        else:
+            join = _count_hits_merge_kernel
         for i, (nk_pad, stream, s_arr, e_arr, _) in enumerate(ps.slabs):
             cached = ps._words.get(i)
             if cached is not None:
                 t, p = cached[1], join(data, cached[0])
             else:
                 t, p = _fused_query_fn(
-                    self.cfg, self.canonical, nk_pad
+                    self.cfg, self.canonical, nk_pad, ws._holes
                 )(stream, s_arr, e_arr, data)
             total_dev = t if total_dev is None else total_dev + t
             positive_dev = p if positive_dev is None else positive_dev + p

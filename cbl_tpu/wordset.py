@@ -39,7 +39,7 @@ import numpy as np
 
 from . import limbs
 from .config import CBLConfig
-from .ops.sort_pallas import sort_cols_auto
+from .ops.sort_pallas import merge_cols_auto, sort_cols_auto
 
 MIN_CAP = 4096
 DEFAULT_PENDING_CAP = 1 << 21
@@ -240,8 +240,9 @@ def _merge_sortmark_kernel(data, batch):
     with sentinel rows.  Holes are harmless to sort-joins and to further
     merges (sentinels drop out of the next sort); paths that need a
     contiguous prefix (binary search, radix windows, export) compact first
-    via `_compact_sort_kernel`.  Saves one full bitonic re-sort per merge —
-    the single largest cost of the build path."""
+    via `_compact_sort_kernel`.  Retained as the fallback when `data` is
+    not monotone (holes from a previous call); the default insert merge is
+    `_merge_keepdups_kernel`."""
     cat = jnp.concatenate([data, batch], axis=0)
     s = sort_rows(cat)
     prev_eq = jnp.concatenate(
@@ -250,6 +251,40 @@ def _merge_sortmark_kernel(data, batch):
     keep = _valid_mask(s) & ~prev_eq
     s = jnp.where(keep[:, None], s, _U32_MAX)
     return s, jnp.sum(keep.astype(jnp.int32))
+
+
+def _distinct_count(s):
+    """Distinct valid rows of a sorted (duplicates-adjacent) array."""
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+    )
+    return jnp.sum((_valid_mask(s) & ~prev_eq).astype(jnp.int32))
+
+
+@jax.jit
+def _merge_keepdups_kernel(data, batch):
+    """Insert-merge exploiting the index's sort order: sort only the BATCH,
+    then one bitonic merge of the two sorted runs (~log N strides vs
+    ~log^2 N/2 for re-sorting the whole index).  Duplicate rows are KEPT —
+    no marking pass, no holes — so the array stays monotone and the next
+    merge and the merge-join stay cheap; the distinct count is one
+    adjacency pass.  `data` must be sorted ascending and contiguous
+    (duplicates fine).  Returns ([C+P, L] merged, n_distinct)."""
+    L = data.shape[-1]
+    bs = sort_rows(batch)
+    cols = merge_cols_auto(
+        tuple(data[:, l] for l in range(L)),
+        tuple(bs[:, l] for l in range(L)),
+    )
+    s = jnp.stack(cols, axis=-1)
+    return s, _distinct_count(s)
+
+
+@jax.jit
+def _build_sorted_kernel(batch):
+    """Sort a fresh batch and count distinct rows (empty-index insert)."""
+    s = sort_rows(batch)
+    return s, _distinct_count(s)
 
 
 @partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
@@ -369,31 +404,25 @@ def _count_hits_kernel(data, queries):
     return jnp.sum(hits.astype(jnp.int32))
 
 
-@jax.jit
-def _count_hits_kernel_packed(data, queries):
-    """Counting sort-join with the data/query tag PACKED into the key's low
-    bit (rows shifted left one bit; data rows get tag 1).  The sort then
-    moves L columns instead of L+1 — a third less HBM traffic for 2-limb
-    words in the single most expensive kernel of the query path.  Requires
-    n_bits + 1 <= 32*L - 1 (caller checks; true for every minimal-limb
-    config except exact-multiple widths, which fall back to the payload-tag
-    kernel above).
+def _shift_tag(rows, tag: int):
+    """Pack a 1-bit operand tag into the key's low bit: shift the whole
+    multi-limb word left one bit (monotone: n_bits + 1 < 32L) and OR the
+    tag into the last limb.  Sentinel rows stay all-ones."""
+    L = rows.shape[-1]
+    out = limbs.shift_left(rows, 1)
+    if tag:
+        out = out.at[:, L - 1].set(out[:, L - 1] | jnp.uint32(1))
+    return out
 
-    With the packed tag, equal-word runs place all query copies BEFORE the
-    data row (tag 1 sorts last), so one reverse cummin over data run-ids
-    replaces the two-scan broadcast.
-    """
-    L = data.shape[-1]
+
+def _packed_join_count(s, L: int):
+    """Hit count over packed-tag-sorted columns: query rows (tag 0) whose
+    equal-WORD run contains a data row (tag 1).  With the packed tag, the
+    data copies sort LAST in their run, so one reverse cummin over data
+    run-ids finds them; sentinels (all-ones limb 0 — any valid shifted
+    word's limb 0 is strictly smaller) are masked."""
     one = jnp.uint32(1)
-    d = limbs.shift_left(data, 1)
-    d = d.at[:, L - 1].set(d[:, L - 1] | one)
-    q = limbs.shift_left(queries, 1)
-    rows = jnp.concatenate([d, q], axis=0)
-    cols = tuple(rows[:, l] for l in range(L))
-    s = sort_cols_auto(cols)
     is_data = (s[L - 1] & one) == one
-    # sentinel rows: after the shift their limb 0 is still all-ones, while
-    # any valid shifted word's limb 0 is strictly smaller (n_bits+1 < 32L)
     valid = s[0] != _U32_MAX
     # run boundaries over the WORD (ignore the tag bit in the last limb)
     neq = (s[L - 1][1:] >> 1) != (s[L - 1][:-1] >> 1)
@@ -406,6 +435,38 @@ def _count_hits_kernel_packed(data, queries):
     )
     hits = (~is_data) & (bwd == run_id) & valid
     return jnp.sum(hits.astype(jnp.int32))
+
+
+@jax.jit
+def _count_hits_kernel_packed(data, queries):
+    """Counting sort-join with the data/query tag PACKED into the key's low
+    bit (rows shifted left one bit; data rows get tag 1).  The sort then
+    moves L columns instead of L+1 — a third less HBM traffic for 2-limb
+    words in the single most expensive kernel of the query path.  Requires
+    n_bits + 1 <= 32*L - 1 (caller checks; true for every minimal-limb
+    config except exact-multiple widths, which fall back to the payload-tag
+    kernel above)."""
+    L = data.shape[-1]
+    rows = jnp.concatenate([_shift_tag(data, 1), _shift_tag(queries, 0)],
+                           axis=0)
+    s = sort_cols_auto(tuple(rows[:, l] for l in range(L)))
+    return _packed_join_count(s, L)
+
+
+@jax.jit
+def _count_hits_merge_kernel(data, queries):
+    """`_count_hits_kernel_packed` exploiting the index's sort order: sort
+    only the QUERIES, then one bitonic merge of the two sorted runs
+    (~log N compare-exchange strides vs ~log^2 N/2 for the monolithic
+    tagged sort — the single biggest win of keeping the index sorted).
+    Requires `data` sorted ascending and contiguous (duplicate rows fine,
+    NO holes) — the caller dispatches on the holes flag."""
+    L = data.shape[-1]
+    d = _shift_tag(data, 1)  # monotone: data stays sorted after the shift
+    q = _shift_tag(queries, 0)
+    qs = sort_cols_auto(tuple(q[:, l] for l in range(L)))
+    s = merge_cols_auto(tuple(d[:, l] for l in range(L)), qs)
+    return _packed_join_count(s, L)
 
 
 @jax.jit
@@ -559,13 +620,26 @@ def _fold_log_kernel(data, pending, tags, out_cap: int):
     )
     ops = tuple(rows[:, l] for l in range(L)) + (seqtag,)
     s = sort_cols_auto(ops)
+    keep = _fold_keep_mask(s, L)
+    return _compact_marked(s, keep, L, out_cap)
+
+
+def _fold_keep_mask(s, L: int):
+    """Last-write-wins keep mask over (word, seqtag)-sorted columns: the
+    LAST row of each equal-word run decides (kept iff its op bit is
+    insert), which also dedups; sentinel-word rows are dropped."""
     neq = s[0][1:] != s[0][:-1]
     valid_inv = s[0] == _U32_MAX
     for l in range(1, L):
         neq = neq | (s[l][1:] != s[l][:-1])
         valid_inv = valid_inv & (s[l] == _U32_MAX)
     last_of_run = jnp.concatenate([neq, jnp.ones((1,), dtype=bool)])
-    keep = ~valid_inv & last_of_run & ((s[L] & jnp.uint32(1)) == 1)
+    return ~valid_inv & last_of_run & ((s[L] & jnp.uint32(1)) == 1)
+
+
+def _compact_marked(s, keep, L: int, out_cap: int):
+    """Mark non-kept rows as the sentinel, compact by one re-sort, and
+    truncate/pad to out_cap.  Returns (out, kept count)."""
     out_rows = jnp.stack(s[:L], axis=-1)
     out_rows = jnp.where(keep[:, None], out_rows, _U32_MAX)
     out_rows = sort_rows(out_rows)
@@ -578,34 +652,36 @@ def _fold_log_kernel(data, pending, tags, out_cap: int):
     return out, jnp.sum(keep.astype(jnp.int32))
 
 
-@jax.jit
-def _count_hits_log_kernel(data, pending, tags, queries):
-    """Counting join against (data ⊕ pending log) WITHOUT folding: one sort
-    of C+P+Q keyed by (word, seqtag); within each word run the entry with
-    the highest sequence decides membership (data rows are implicit
-    seq-0 inserts, query rows carry seq MAX so they sort last).  The
-    'latest entry at-or-before me in my own run' test uses two prefix
-    scans and no gathers (run starts are monotone positions)."""
+@partial(jax.jit, static_argnames=("out_cap",))
+def _fold_log_merge_kernel(data, pending, tags, out_cap: int):
+    """`_fold_log_kernel` exploiting the index's sort order: sort only the
+    (pending, tags) log by (word, seqtag), bitonic-merge it with the data
+    side (whose implicit seqtag 1 sorts before every log entry of the same
+    word, so the data side is already (word, seqtag)-sorted), then the
+    same last-write-wins fold.  Requires `data` contiguous (no holes)."""
     C, L = data.shape
-    P = pending.shape[0]
-    Q = queries.shape[0]
-    rows = jnp.concatenate([data, pending, queries], axis=0)
-    seqtag = jnp.concatenate(
-        [
-            jnp.ones((C,), jnp.uint32),
-            tags,
-            jnp.full((Q,), _U32_MAX, jnp.uint32),
-        ]
+    sb = sort_cols_auto(tuple(pending[:, l] for l in range(L)) + (tags,))
+    s = merge_cols_auto(
+        tuple(data[:, l] for l in range(L)) + (jnp.ones((C,), jnp.uint32),),
+        sb,
     )
-    ops = tuple(rows[:, l] for l in range(L)) + (seqtag,)
-    s = sort_cols_auto(ops)
+    keep = _fold_keep_mask(s, L)
+    return _compact_marked(s, keep, L, out_cap)
+
+
+def _log_join_count(s, L: int):
+    """Hit count over (word, seqtag)-sorted columns of data ⊕ log ⊕ queries:
+    a query row (seqtag MAX, sorts last in its word run) hits iff the
+    latest log/data entry at-or-before it IN ITS OWN RUN has the insert
+    bit.  Two prefix scans, no gathers (run starts are monotone)."""
+    n = s[0].shape[0]
     neq = s[0][1:] != s[0][:-1]
     sentinel = s[0] == _U32_MAX
     for l in range(1, L):
         neq = neq | (s[l][1:] != s[l][:-1])
         sentinel = sentinel & (s[l] == _U32_MAX)
     run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
-    idx = jnp.arange(C + P + Q, dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
     my_start = jax.lax.cummax(jnp.where(run_start, idx, 0))
     is_entry = (s[L] != _U32_MAX) & ~sentinel
     packed = jnp.where(
@@ -620,6 +696,47 @@ def _count_hits_log_kernel(data, pending, tags, queries):
         & ((last & 1) == 1)
     )
     return jnp.sum(hit.astype(jnp.int32))
+
+
+@jax.jit
+def _count_hits_log_kernel(data, pending, tags, queries):
+    """Counting join against (data ⊕ pending log) WITHOUT folding: one sort
+    of C+P+Q keyed by (word, seqtag); within each word run the entry with
+    the highest sequence decides membership (data rows are implicit
+    seq-1 inserts, query rows carry seq MAX so they sort last)."""
+    C, L = data.shape
+    P = pending.shape[0]
+    Q = queries.shape[0]
+    rows = jnp.concatenate([data, pending, queries], axis=0)
+    seqtag = jnp.concatenate(
+        [
+            jnp.ones((C,), jnp.uint32),
+            tags,
+            jnp.full((Q,), _U32_MAX, jnp.uint32),
+        ]
+    )
+    ops = tuple(rows[:, l] for l in range(L)) + (seqtag,)
+    s = sort_cols_auto(ops)
+    return _log_join_count(s, L)
+
+
+@jax.jit
+def _count_hits_log_merge_kernel(data, pending, tags, queries):
+    """`_count_hits_log_kernel` exploiting the index's sort order: sort
+    only (log ⊕ queries) by (word, seqtag), bitonic-merge with the data
+    side (implicit seqtag 1 — already sorted), same scan logic.  Requires
+    `data` contiguous (no holes)."""
+    C, L = data.shape
+    P = pending.shape[0]
+    Q = queries.shape[0]
+    rows_b = jnp.concatenate([pending, queries], axis=0)
+    seq_b = jnp.concatenate([tags, jnp.full((Q,), _U32_MAX, jnp.uint32)])
+    sb = sort_cols_auto(tuple(rows_b[:, l] for l in range(L)) + (seq_b,))
+    s = merge_cols_auto(
+        tuple(data[:, l] for l in range(L)) + (jnp.ones((C,), jnp.uint32),),
+        sb,
+    )
+    return _log_join_count(s, L)
 
 
 @jax.jit
@@ -714,7 +831,11 @@ class DeviceWordSet:
         """Exact element count (forces a device sync if one is pending)."""
         if self._n_host is None:
             self._n_host = int(self._n_dev)
-            self._n_upper = self._n_host
+            if not self._dups:
+                # n counts DISTINCT rows; with duplicates retained the
+                # valid prefix can exceed it, so only a dup-free array may
+                # tighten the live-size bound to it
+                self._n_upper = self._n_host
         return self._n_host
 
     def _live(self, floor: int = 1):
@@ -833,7 +954,12 @@ class DeviceWordSet:
             if self._n_upper == 0 and not self._holes
             else self._live()
         )
-        self.data, n_dev = _fold_log_kernel(data, rows, tags, out_cap)
+        fold = (
+            _fold_log_merge_kernel
+            if not self._holes and data.shape[0]
+            else _fold_log_kernel
+        )
+        self.data, n_dev = fold(data, rows, tags, out_cap)
         self.capacity = out_cap
         self._holes = False
         self._dups = False
@@ -862,18 +988,31 @@ class DeviceWordSet:
                 data, rows, out_cap, rows_sorted
             )
             self.capacity = out_cap
-        elif data.shape[0] + rows.shape[0] <= 2 * out_cap:
-            # one-sort merge, compaction deferred (holes)
+            self._dups = False
+        elif data.shape[0] == 0:
+            # fresh index: one sort of the batch, duplicates kept
+            self.data, n_dev = _build_sorted_kernel(rows)
+            self.capacity = self.data.shape[0]
+            self._dups = True
+        elif self._holes:
+            # non-monotone (holes) index: monolithic sort fallback
             self.data, n_dev = _merge_sortmark_kernel(data, rows)
             self.capacity = self.data.shape[0]
             self._holes = True
+            self._dups = False
+        elif data.shape[0] + rows.shape[0] <= 2 * out_cap:
+            # sorted index: sort only the batch + bitonic merge; duplicate
+            # rows are kept (the array stays monotone; see kernel docstring)
+            self.data, n_dev = _merge_keepdups_kernel(data, rows)
+            self.capacity = self.data.shape[0]
+            self._dups = True
         else:
-            # hole fraction would exceed ~1/2: fold the compaction into this
-            # merge (two sorts) and reset the array to the live size
+            # dup/pad fraction would exceed ~1/2: fold the compaction into
+            # this merge (two sorts) and reset the array to the live size
             self.data, n_dev = _merge_sortcompact_kernel(data, rows, out_cap)
             self.capacity = out_cap
             self._holes = False
-        self._dups = False  # every merge kernel drops duplicate rows
+            self._dups = False
         self._invalidate_index()
         self._n_dev = n_dev
         self._n_host = None  # sync lazily
@@ -904,11 +1043,18 @@ class DeviceWordSet:
         count()."""
         if self.n_pending > 0:
             eff = min(_next_pow2(self.n_pending), self.pending_cap)
-            return _count_hits_log_kernel(
-                self._live(), self.pending[:eff], self.pending_tags[:eff],
-                words,
+            live = self._live()
+            log_join = (
+                _count_hits_log_merge_kernel
+                if not self._holes and live.shape[0]
+                else _count_hits_log_kernel
+            )
+            return log_join(
+                live, self.pending[:eff], self.pending_tags[:eff], words
             )
         if self.cfg.n_bits <= 32 * self.L - 2:
+            if not self._holes:
+                return _count_hits_merge_kernel(self._live(), words)
             return _count_hits_kernel_packed(self._live(), words)
         return _count_hits_kernel(self._live(), words)
 
