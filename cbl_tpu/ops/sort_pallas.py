@@ -249,10 +249,8 @@ def _tile_log_for(L: int) -> int:
     env = os.environ.get("CBL_TPU_SORT_TLOG")
     if env:
         return int(env)
-    if L <= 2:
-        return 18
-    if L <= 5:
-        return 17
+    # t_log=16 is the largest tile that compiles on v5e (17/18 exceed the
+    # 16MB scoped-VMEM limit — session13 log); measured 2^25 L=2: 186ms.
     return 16
 
 
@@ -345,12 +343,17 @@ _MIN_PALLAS_MERGE_N = 1 << 19
 
 
 def _use_pallas_merge(n: int) -> bool:
-    mode = os.environ.get("CBL_TPU_MERGE_KERNEL", "auto")
-    if mode == "xla":
-        return False
+    """Default OFF until the bitonic merge is measured faster than
+    lax.sort(concat) on the real chip (session13 measured the full Pallas
+    sort at 0.78-0.88x of lax.sort; the merge kernel is unmeasured)."""
+    mode = os.environ.get("CBL_TPU_MERGE_KERNEL", "xla")
     if mode == "pallas":
+        return n >= _MIN_PALLAS_MERGE_N and jax.default_backend() not in (
+            "cpu",
+        )
+    if mode == "pallas-force":
         return True
-    return n >= _MIN_PALLAS_MERGE_N and jax.default_backend() not in ("cpu",)
+    return False
 
 
 def merge_cols_auto(cols_a, cols_b):
@@ -374,15 +377,16 @@ _MIN_PALLAS_N = 1 << 20
 
 
 def _use_pallas(N: int) -> bool:
-    mode = os.environ.get("CBL_TPU_SORT", "auto")
-    if mode == "xla":
-        return False
-    if mode == "pallas":  # forced (tests / probes) — interpret on CPU
+    """Default OFF: lax.sort measured FASTER than the Pallas bitonic
+    network on TPU v5e (145ms vs 186ms at 2^25 L=2, t_log=16 — session13
+    log), and t_log 17/18 fail to compile (scoped-VMEM OOM).  The network
+    stays available for probes/tests via CBL_TPU_SORT=pallas."""
+    mode = os.environ.get("CBL_TPU_SORT", "xla")
+    if mode == "pallas":
+        return N >= _MIN_PALLAS_N and jax.default_backend() not in ("cpu",)
+    if mode == "pallas-force":  # tests / probes — interpret on CPU
         return True
-    return (
-        N >= _MIN_PALLAS_N
-        and jax.default_backend() not in ("cpu",)
-    )
+    return False
 
 
 def sort_cols_auto(cols):

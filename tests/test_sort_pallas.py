@@ -103,7 +103,7 @@ def test_cbl_end_to_end_forced_pallas(monkeypatch):
     ref.insert_seq(seq)
     want_words = ref.wordset.words_array()
 
-    monkeypatch.setenv("CBL_TPU_SORT", "pallas")
+    monkeypatch.setenv("CBL_TPU_SORT", "pallas-force")
     jax.clear_caches()
     try:
         idx = CBL.new_canonical(k=25)
