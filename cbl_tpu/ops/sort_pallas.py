@@ -356,18 +356,27 @@ def _use_pallas_merge(n: int) -> bool:
     return False
 
 
-def merge_cols_auto(cols_a, cols_b):
-    """Merge two each-sorted column tuples; equals
-    `lax.sort(concat, num_keys=all)` exactly.  Pallas bitonic-merge on TPU
-    above the size threshold; lax.sort of the concatenation otherwise."""
-    cols_a, cols_b = tuple(cols_a), tuple(cols_b)
-    n = cols_a[0].shape[0] + cols_b[0].shape[0]
+def merge_with_unsorted(sorted_cols, unsorted_cols):
+    """Combine an already-sorted column tuple with an UNSORTED one into a
+    fully sorted tuple; equals `lax.sort(concat, num_keys=all)` exactly.
+
+    Pallas path (CBL_TPU_MERGE_KERNEL=pallas on TPU, large n): sort only
+    the unsorted side, then one bitonic merge of the two sorted runs
+    (~log N compare-exchange strides vs ~log^2 N/2 for re-sorting).
+    Default path: ONE lax.sort of the concatenation — a bitonic network is
+    oblivious, so pre-sorting a side for it would be pure waste."""
+    sorted_cols = tuple(sorted_cols)
+    unsorted_cols = tuple(unsorted_cols)
+    n = sorted_cols[0].shape[0] + unsorted_cols[0].shape[0]
     if _use_pallas_merge(n):
+        us = jax.lax.sort(unsorted_cols, num_keys=len(unsorted_cols))
+        if not isinstance(us, tuple):
+            us = (us,)
         return merge_cols_pallas(
-            cols_a, cols_b, interpret=jax.default_backend() in ("cpu",)
+            sorted_cols, us, interpret=jax.default_backend() in ("cpu",)
         )
     cat = tuple(
-        jnp.concatenate([a, b]) for a, b in zip(cols_a, cols_b)
+        jnp.concatenate([a, b]) for a, b in zip(sorted_cols, unsorted_cols)
     )
     out = jax.lax.sort(cat, num_keys=len(cat))
     return out if isinstance(out, tuple) else (out,)

@@ -39,7 +39,7 @@ import numpy as np
 
 from . import limbs
 from .config import CBLConfig
-from .ops.sort_pallas import merge_cols_auto, sort_cols_auto
+from .ops.sort_pallas import merge_with_unsorted, sort_cols_auto
 
 MIN_CAP = 4096
 DEFAULT_PENDING_CAP = 1 << 21
@@ -271,10 +271,9 @@ def _merge_keepdups_kernel(data, batch):
     adjacency pass.  `data` must be sorted ascending and contiguous
     (duplicates fine).  Returns ([C+P, L] merged, n_distinct)."""
     L = data.shape[-1]
-    bs = sort_rows(batch)
-    cols = merge_cols_auto(
+    cols = merge_with_unsorted(
         tuple(data[:, l] for l in range(L)),
-        tuple(bs[:, l] for l in range(L)),
+        tuple(batch[:, l] for l in range(L)),
     )
     s = jnp.stack(cols, axis=-1)
     return s, _distinct_count(s)
@@ -464,8 +463,10 @@ def _count_hits_merge_kernel(data, queries):
     L = data.shape[-1]
     d = _shift_tag(data, 1)  # monotone: data stays sorted after the shift
     q = _shift_tag(queries, 0)
-    qs = sort_cols_auto(tuple(q[:, l] for l in range(L)))
-    s = merge_cols_auto(tuple(d[:, l] for l in range(L)), qs)
+    s = merge_with_unsorted(
+        tuple(d[:, l] for l in range(L)),
+        tuple(q[:, l] for l in range(L)),
+    )
     return _packed_join_count(s, L)
 
 
@@ -660,10 +661,9 @@ def _fold_log_merge_kernel(data, pending, tags, out_cap: int):
     word, so the data side is already (word, seqtag)-sorted), then the
     same last-write-wins fold.  Requires `data` contiguous (no holes)."""
     C, L = data.shape
-    sb = sort_cols_auto(tuple(pending[:, l] for l in range(L)) + (tags,))
-    s = merge_cols_auto(
+    s = merge_with_unsorted(
         tuple(data[:, l] for l in range(L)) + (jnp.ones((C,), jnp.uint32),),
-        sb,
+        tuple(pending[:, l] for l in range(L)) + (tags,),
     )
     keep = _fold_keep_mask(s, L)
     return _compact_marked(s, keep, L, out_cap)
@@ -731,10 +731,9 @@ def _count_hits_log_merge_kernel(data, pending, tags, queries):
     Q = queries.shape[0]
     rows_b = jnp.concatenate([pending, queries], axis=0)
     seq_b = jnp.concatenate([tags, jnp.full((Q,), _U32_MAX, jnp.uint32)])
-    sb = sort_cols_auto(tuple(rows_b[:, l] for l in range(L)) + (seq_b,))
-    s = merge_cols_auto(
+    s = merge_with_unsorted(
         tuple(data[:, l] for l in range(L)) + (jnp.ones((C,), jnp.uint32),),
-        sb,
+        tuple(rows_b[:, l] for l in range(L)) + (seq_b,),
     )
     return _log_join_count(s, L)
 
