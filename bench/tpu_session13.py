@@ -4,7 +4,7 @@
 1. Correctness on the real chip (vs lax.sort, small + medium sizes).
 2. Sort microbench: lax.sort vs pallas at 2^22/2^25, L=2/3, tile sweep.
 3. Pass-level timings (tilesort / cross / intile) to localize cost.
-4. e2e bench: static 32Mbp with CBL_TPU_SORT=xla then =auto (cache-cleared
+4. e2e bench: static 32Mbp with CBL_TPU_SORT=xla then =pallas (cache-cleared
    between), cross-checked against baseline.cpp counts.
 
 Timing: scalar sync (int of one element) — block_until_ready does NOT
@@ -146,7 +146,7 @@ def e2e():
     log(f"4 baseline.cpp: ins {base['insert_s']:.3f}s qry "
         f"{base['query_s']:.3f}s distinct={base['distinct']}")
     nk = bases - 24
-    for mode in ("xla", "auto"):
+    for mode in ("xla", "pallas"):
         os.environ["CBL_TPU_SORT"] = mode
         jax.clear_caches()
         gc.collect()

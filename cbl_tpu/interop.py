@@ -12,10 +12,11 @@ built with (mismatches are undefined behavior in the reference; we check
 suffix widths where possible).
 
 - `load_reference(path, k, prefix_bits)` reads a reference-written index.
-- `save_reference(cbl, path)` writes a file the reference binary can load
-  (all buckets in Vec form, ascending order — the reference accepts Vec
-  buckets of any size; its deserialiser re-tiers on load,
-  `src/wordset/mod.rs:411-427`).
+- `save_reference(cbl, path)` writes a file the reference binary can load:
+  buckets of <= 1024 suffixes in Vec form, larger buckets in Trie form —
+  matching the container the reference itself would hold at that size
+  (THRESHOLD=1024, `/root/reference/src/wordset/mod.rs:34`), so the bytes
+  are structurally faithful, not merely loadable.
 
 bincode varint scheme (unsigned): < 251 one byte; 0xFB + u16 LE;
 0xFC + u32 LE; 0xFD + u64 LE.
@@ -149,9 +150,35 @@ def load_reference(path, k: int, prefix_bits: int = 24):
     return cbl
 
 
+TRIE_THRESHOLD = 1024  # `/root/reference/src/wordset/mod.rs:34`
+
+
+def _write_trie_node(buf: io.BytesIO, rows: np.ndarray, depth: int,
+                     nbytes: int) -> None:
+    """Serialize one TrieNode { bv: TinyBitvector (seq of set byte values),
+    children: Vec<Trie> } (`/root/reference/src/trie.rs:53-57`,
+    `src/bitvector/tiny/mod.rs:97-110`).  `rows` are the big-endian suffix
+    byte rows of this subtree, sorted, sharing bytes [0, depth)."""
+    vals, starts = np.unique(rows[:, depth], return_index=True)
+    _write_varint(buf, len(vals))
+    for v in vals:
+        _write_varint(buf, int(v))
+    if depth == nbytes - 1:
+        _write_varint(buf, 0)  # leaves hold the last byte; no children
+        return
+    _write_varint(buf, len(vals))
+    bounds = list(starts) + [rows.shape[0]]
+    for i in range(len(vals)):
+        _write_trie_node(buf, rows[bounds[i] : bounds[i + 1]], depth + 1,
+                         nbytes)
+
+
 def save_reference(cbl, path) -> None:
     """Write an index file loadable by the reference binary compiled with
-    the same K/PREFIX_BITS.  All buckets in Vec form, ascending order."""
+    the same K/PREFIX_BITS.  Ascending prefix order; buckets above the
+    reference's vec->trie threshold are written in Trie form (variant 1),
+    the rest in Vec form (variant 0) — mirroring `TrieOrVec` serde
+    (`/root/reference/src/trievec/mod.rs:8-12`)."""
     cfg = cbl.cfg
     nbytes = (cfg.suffix_bits + 7) // 8
     words = limbs.to_py_ints(cbl.wordset.words_array())
@@ -170,10 +197,22 @@ def save_reference(cbl, path) -> None:
     _write_varint(buf, len(groups))
     for p, sufs in groups:
         _write_varint(buf, p)
-        _write_varint(buf, 0)  # Vec variant
-        _write_varint(buf, len(sufs))
-        for s in sufs:
-            _write_varint(buf, nbytes)
-            buf.write(s.to_bytes(nbytes, "little"))
+        if len(sufs) > TRIE_THRESHOLD:
+            _write_varint(buf, 1)  # Trie(Trie, usize) variant
+            rows = np.zeros((len(sufs), nbytes), dtype=np.uint8)
+            for i, s in enumerate(sufs):
+                rows[i] = np.frombuffer(
+                    s.to_bytes(nbytes, "big"), dtype=np.uint8
+                )
+            # suffixes ascend within a bucket, so big-endian byte rows are
+            # already in trie (DFS) order
+            _write_trie_node(buf, rows, 0, nbytes)
+            _write_varint(buf, len(sufs))
+        else:
+            _write_varint(buf, 0)  # Vec variant
+            _write_varint(buf, len(sufs))
+            for s in sufs:
+                _write_varint(buf, nbytes)
+                buf.write(s.to_bytes(nbytes, "little"))
     with open(path, "wb") as f:
         f.write(buf.getvalue())

@@ -106,11 +106,13 @@ def _local_iota(H: int):
 
 
 @lru_cache(maxsize=None)
-def _tilesort_call(dts, t_log: int, interpret: bool):
-    """Pass 1: full bitonic sort of each tile, global directions.
+def _tilesort_call(dts, t_log: int, interpret: bool, alternating: bool = True):
+    """Pass 1: full bitonic sort of each tile.
 
-    After it, tile g is sorted ascending iff g is even — the state the
-    first global merge stage (k = 2T) expects."""
+    alternating=True (bitonic network): directions come from the GLOBAL
+    element index, so tile g sorts ascending iff g is even — the state the
+    first global merge stage (k = 2T) expects.  alternating=False
+    (merge-path sort): every tile sorts ascending."""
     L = len(dts)
     H = (1 << t_log) // _LANES
 
@@ -121,8 +123,10 @@ def _tilesort_call(dts, t_log: int, interpret: bool):
         for k_log in range(1, t_log + 1):
             if k_log < t_log:
                 asc = (li & (1 << k_log)) == 0
-            else:
+            elif alternating:
                 asc = (g & 1) == 0  # bit t_log of the global index
+            else:
+                asc = True
             for j_log in range(k_log - 1, -1, -1):
                 cols = _cmpex(cols, li, j_log, asc)
         for l in range(L):
@@ -340,41 +344,51 @@ def merge_cols_pallas(cols_a, cols_b, t_log: int | None = None,
 
 
 _MIN_PALLAS_MERGE_N = 1 << 19
+_MERGE_MODES = ("xla", "pallas", "pallas-force", "mergepath",
+                "mergepath-force")
 
 
-def _use_pallas_merge(n: int) -> bool:
-    """Default OFF until the bitonic merge is measured faster than
-    lax.sort(concat) on the real chip (session13 measured the full Pallas
-    sort at 0.78-0.88x of lax.sort; the merge kernel is unmeasured)."""
+def _merge_mode() -> str:
+    """Merge-kernel selector: 'xla' = lax.sort(concat); 'pallas' = bitonic
+    merge on TPU for large n; 'mergepath' = co-rank single-pass merge
+    (ops/merge_pallas.py) on TPU for large n; '-force' variants always
+    engage (interpret mode on CPU — tests/probes).  Default stays 'xla'
+    until a mode is measured faster on the real chip with scalar-sync
+    timing (round-2 lesson: the bitonic network looked right and measured
+    SLOWER)."""
     mode = os.environ.get("CBL_TPU_MERGE_KERNEL", "xla")
-    if mode == "pallas":
-        return n >= _MIN_PALLAS_MERGE_N and jax.default_backend() not in (
-            "cpu",
+    if mode not in _MERGE_MODES:
+        raise ValueError(
+            f"CBL_TPU_MERGE_KERNEL={mode!r}: expected one of {_MERGE_MODES}"
         )
-    if mode == "pallas-force":
-        return True
-    return False
+    return mode
 
 
 def merge_with_unsorted(sorted_cols, unsorted_cols):
     """Combine an already-sorted column tuple with an UNSORTED one into a
     fully sorted tuple; equals `lax.sort(concat, num_keys=all)` exactly.
 
-    Pallas path (CBL_TPU_MERGE_KERNEL=pallas on TPU, large n): sort only
-    the unsorted side, then one bitonic merge of the two sorted runs
-    (~log N compare-exchange strides vs ~log^2 N/2 for re-sorting).
-    Default path: ONE lax.sort of the concatenation — a bitonic network is
-    oblivious, so pre-sorting a side for it would be pure waste."""
+    Default (CBL_TPU_MERGE_KERNEL=mergepath, TPU, large n): sort only the
+    unsorted side (via sort_cols_auto), then ONE merge-path Pallas pass
+    (ops/merge_pallas.py).  'pallas' uses the bitonic merge network
+    (~log N HBM strides) instead; 'xla' is one lax.sort of the
+    concatenation."""
     sorted_cols = tuple(sorted_cols)
     unsorted_cols = tuple(unsorted_cols)
+    mode = _merge_mode()
     n = sorted_cols[0].shape[0] + unsorted_cols[0].shape[0]
-    if _use_pallas_merge(n):
-        us = jax.lax.sort(unsorted_cols, num_keys=len(unsorted_cols))
-        if not isinstance(us, tuple):
-            us = (us,)
-        return merge_cols_pallas(
-            sorted_cols, us, interpret=jax.default_backend() in ("cpu",)
-        )
+    on_tpu = jax.default_backend() not in ("cpu",)
+    engage = mode.endswith("-force") or (
+        mode != "xla" and n >= _MIN_PALLAS_MERGE_N and on_tpu
+    )
+    if engage:
+        us = sort_cols_auto(unsorted_cols)
+        interpret = jax.default_backend() in ("cpu",)
+        if mode.startswith("mergepath"):
+            from .merge_pallas import merge_sorted_cols
+
+            return merge_sorted_cols(sorted_cols, us, interpret=interpret)
+        return merge_cols_pallas(sorted_cols, us, interpret=interpret)
     cat = tuple(
         jnp.concatenate([a, b]) for a, b in zip(sorted_cols, unsorted_cols)
     )
@@ -383,30 +397,40 @@ def merge_with_unsorted(sorted_cols, unsorted_cols):
 
 
 _MIN_PALLAS_N = 1 << 20
+_SORT_MODES = ("xla", "pallas", "pallas-force", "mergepath",
+               "mergepath-force")
 
 
-def _use_pallas(N: int) -> bool:
-    """Default OFF: lax.sort measured FASTER than the Pallas bitonic
-    network on TPU v5e (145ms vs 186ms at 2^25 L=2, t_log=16 — session13
-    log), and t_log 17/18 fail to compile (scoped-VMEM OOM).  The network
-    stays available for probes/tests via CBL_TPU_SORT=pallas."""
+def _sort_mode() -> str:
+    """Sort selector.  'xla' = lax.sort; 'pallas' = the monolithic bitonic
+    network (measured SLOWER than lax.sort on v5e: 186ms vs 145ms at 2^25
+    L=2 — session13); 'mergepath' = tile-sort + log2(N/T) merge-path
+    passes (ops/merge_pallas.py).  '-force' variants always engage
+    (interpret mode on CPU).  Default stays 'xla' until a mode is measured
+    faster on the real chip with scalar-sync timing."""
     mode = os.environ.get("CBL_TPU_SORT", "xla")
-    if mode == "pallas":
-        return N >= _MIN_PALLAS_N and jax.default_backend() not in ("cpu",)
-    if mode == "pallas-force":  # tests / probes — interpret on CPU
-        return True
-    return False
+    if mode not in _SORT_MODES:
+        raise ValueError(
+            f"CBL_TPU_SORT={mode!r}: expected one of {_SORT_MODES}"
+        )
+    return mode
 
 
 def sort_cols_auto(cols):
-    """`jax.lax.sort(cols, num_keys=len(cols))` with the Pallas bitonic
-    network on TPU for large inputs.  Handles non-power-of-two lengths by
-    padding every column with its dtype max (pads sort to the back and are
-    sliced off; all-max sentinel rows are interchangeable with pads, so
-    the leading N rows are multiset-exact)."""
+    """`jax.lax.sort(cols, num_keys=len(cols))` with a Pallas sort on TPU
+    for large inputs.  Handles non-power-of-two lengths by padding every
+    column with its dtype max (pads sort to the back and are sliced off;
+    all-max sentinel rows are interchangeable with pads, so the leading N
+    rows are multiset-exact)."""
     cols = tuple(cols)
     N = cols[0].shape[0]
-    if not _use_pallas(N):
+    mode = _sort_mode()
+    engage = mode.endswith("-force") or (
+        mode != "xla"
+        and N >= _MIN_PALLAS_N
+        and jax.default_backend() not in ("cpu",)
+    )
+    if not engage:
         out = jax.lax.sort(cols, num_keys=len(cols))
         return out if isinstance(out, tuple) else (out,)
     P = _next_pow2(max(N, 1 << 13))
@@ -419,9 +443,13 @@ def sort_cols_auto(cols):
         )
     else:
         padded = cols
-    out = sort_cols_pallas(
-        padded, interpret=jax.default_backend() in ("cpu",)
-    )
+    interpret = jax.default_backend() in ("cpu",)
+    if mode.startswith("mergepath"):
+        from .merge_pallas import sort_cols_mergepath
+
+        out = sort_cols_mergepath(padded, interpret=interpret)
+    else:
+        out = sort_cols_pallas(padded, interpret=interpret)
     if P != N:
         out = tuple(c[:N] for c in out)
     return out

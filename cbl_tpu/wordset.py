@@ -80,47 +80,6 @@ def _compact(rows, keep, out_cap: int):
 
 
 
-@partial(jax.jit, static_argnames=("out_cap", "batch_sorted"), donate_argnums=(0,))
-def _merge_scatter_kernel(data, batch, out_cap: int, batch_sorted: bool = False):
-    """Merge `batch` rows into the sorted `data` array WITHOUT re-sorting the
-    index: sort only the batch, then compute every row's final position with
-    two vectorized binary searches and scatter.  O(C + P log C) HBM work vs
-    O((C+P) log^2) for the bitonic full sort — the index merge is the hot
-    amortised cost of the insert path.
-
-    data: [C, L] sorted, sentinel-padded, duplicate-free.
-    batch: [P, L] arbitrary rows (duplicates / sentinels fine).
-    """
-    C, L = data.shape
-    bs = batch if batch_sorted else sort_rows(batch)
-    # drop batch rows that are sentinels, intra-batch duplicates, or already
-    # present in data
-    dup_b = jnp.concatenate(
-        [jnp.zeros((1,), dtype=bool), limbs.eq(bs[1:], bs[:-1])]
-    )
-    idx_in_data = _searchsorted_kernel(data, bs)  # lower bound, [P]
-    present = (idx_in_data < C) & limbs.eq(
-        data[jnp.clip(idx_in_data, 0, C - 1)], bs
-    )
-    keep_b = _valid_mask(bs) & ~dup_b & ~present
-    rank_b = jnp.cumsum(keep_b.astype(jnp.int32)) - 1
-    # kept-batch rows landing at or before each data row: a bincount of the
-    # batch's insertion positions + prefix sum — O(C+P), no second binary
-    # search over the (much larger) index side
-    cnt = jnp.zeros((C + 1,), jnp.int32).at[idx_in_data].add(
-        keep_b.astype(jnp.int32), mode="drop"
-    )
-    kept_before = jnp.cumsum(cnt)[:C]
-    keep_d = _valid_mask(data)
-    n_data = jnp.sum(keep_d.astype(jnp.int32))
-    dest_d = jnp.where(keep_d, jnp.arange(C, dtype=jnp.int32) + kept_before, out_cap)
-    dest_b = jnp.where(keep_b, idx_in_data + rank_b, out_cap)
-    out = jnp.full((out_cap, L), _U32_MAX, dtype=jnp.uint32)
-    out = out.at[dest_d].set(data, mode="drop")
-    out = out.at[dest_b].set(bs, mode="drop")
-    return out, n_data + jnp.sum(keep_b.astype(jnp.int32))
-
-
 @partial(jax.jit, static_argnames=("op", "out_cap"), donate_argnums=(0,))
 def _setop_sort_kernel(a, b, op: str, out_cap: int):
     """All binary set operations as ONE tagged bitonic sort + adjacency logic
@@ -263,13 +222,17 @@ def _distinct_count(s):
 
 @jax.jit
 def _merge_keepdups_kernel(data, batch):
-    """Insert-merge exploiting the index's sort order: sort only the BATCH,
-    then one bitonic merge of the two sorted runs (~log N strides vs
-    ~log^2 N/2 for re-sorting the whole index).  Duplicate rows are KEPT —
-    no marking pass, no holes — so the array stays monotone and the next
-    merge and the merge-join stay cheap; the distinct count is one
-    adjacency pass.  `data` must be sorted ascending and contiguous
-    (duplicates fine).  Returns ([C+P, L] merged, n_distinct)."""
+    """Insert-merge of a sorted index with an unsorted batch, deferring
+    dedup: duplicate rows are KEPT — no marking pass, no holes — so the
+    array stays monotone and the next merge and the merge-join stay
+    cheap; the distinct count is one adjacency pass.  `data` must be
+    sorted ascending and contiguous (duplicates fine).
+
+    The combine itself dispatches on CBL_TPU_MERGE_KERNEL (see
+    ops/sort_pallas.merge_with_unsorted): 'mergepath' sorts only the
+    batch and runs the one-pass co-rank merge; 'pallas' sorts the batch
+    and runs the ~log N-stride bitonic merge; 'xla' is one lax.sort of
+    the concatenation.  Returns ([C+P, L] merged, n_distinct)."""
     L = data.shape[-1]
     cols = merge_with_unsorted(
         tuple(data[:, l] for l in range(L)),
@@ -966,9 +929,7 @@ class DeviceWordSet:
         self._n_upper = min(self._n_upper + n_pend, out_cap)
         self._invalidate_index()
 
-    def _merge_into(self, rows, n_new_upper: int, rows_sorted: bool = False) -> None:
-        import os
-
+    def _merge_into(self, rows, n_new_upper: int) -> None:
         out_cap = max(_next_pow2(self._n_upper + n_new_upper), MIN_CAP)
         # an empty index contributes ZERO rows (not a 1-row slice): keeps the
         # concat size a power of two so downstream compaction can donate its
@@ -978,17 +939,7 @@ class DeviceWordSet:
             if self._n_upper == 0 and not self._holes
             else self._live()
         )
-        if os.environ.get("CBL_TPU_MERGE", "sort") == "scatter":
-            if self._holes or self._dups:
-                self._compact()
-                self._dedup()
-                data = self._live()
-            self.data, n_dev = _merge_scatter_kernel(
-                data, rows, out_cap, rows_sorted
-            )
-            self.capacity = out_cap
-            self._dups = False
-        elif data.shape[0] == 0:
+        if data.shape[0] == 0:
             # fresh index: one sort of the batch, duplicates kept
             self.data, n_dev = _build_sorted_kernel(rows)
             self.capacity = self.data.shape[0]

@@ -162,6 +162,84 @@ def test_golden_trie_bucket_branching(tmp_path):
     assert limbs.to_py_ints(cbl2.wordset.words_array()) == words
 
 
+def test_writer_emits_trie_above_threshold(tmp_path):
+    """Buckets above the reference's vec->trie threshold (1024,
+    `/root/reference/src/wordset/mod.rs:34`) must be written in Trie form;
+    smaller buckets stay Vec; the file round-trips exactly."""
+    from cbl_tpu import limbs
+
+    s = CBL(k=25, prefix_bits=24)
+    words = [(7 << 32) | suf for suf in range(1030)] + [
+        (9 << 32) | suf for suf in (5, 17, 200)
+    ]
+    s.wordset.insert_words(limbs.from_py_ints(words, s.cfg.word_limbs))
+    s.wordset.flush()
+    p = tmp_path / "big.cbl"
+    interop.save_reference(s, p)
+
+    r = interop._Reader(p.read_bytes())
+    assert r.take(1) == b"\x00"
+    assert r.varint() == 2  # two buckets
+    assert r.varint() == 7
+    assert r.varint() == 1  # Trie variant for the 1030-suffix bucket
+    paths = []
+    interop._read_trie_node(r, 0, 4, (), paths)
+    assert r.varint() == 1030  # stored element count
+    assert [int.from_bytes(bytes(q), "big") for q in paths] == list(
+        range(1030)
+    )
+    assert r.varint() == 9
+    assert r.varint() == 0  # Vec variant for the 3-suffix bucket
+
+    t = interop.load_reference(p, k=25, prefix_bits=24)
+    assert limbs.to_py_ints(t.wordset.words_array()) == sorted(words)
+
+
+def test_golden_trie_writer_bytes(tmp_path, monkeypatch):
+    """The writer's trie bytes must equal the hand-transcribed
+    reference-rule encoding (the fixture verified by
+    test_golden_trie_bucket_branching) for the same word set."""
+    import io
+
+    from cbl_tpu import limbs
+
+    monkeypatch.setattr(interop, "TRIE_THRESHOLD", 2)
+    words = [
+        (9 << 32) | 0x01020304,
+        (9 << 32) | 0x01020307,
+        (9 << 32) | 0x01020900,
+        (9 << 32) | 0x050000FF,
+    ]
+    s = CBL(k=25, prefix_bits=24)
+    s.wordset.insert_words(limbs.from_py_ints(words, s.cfg.word_limbs))
+    s.wordset.flush()
+    p = tmp_path / "golden.cbl"
+    interop.save_reference(s, p)
+
+    buf = io.BytesIO()
+    buf.write(b"\x00")
+    interop._write_varint(buf, 1)
+    interop._write_varint(buf, 9)
+    interop._write_varint(buf, 1)
+
+    def node(bv, n_children):
+        interop._write_varint(buf, len(bv))
+        for i in bv:
+            interop._write_varint(buf, i)
+        interop._write_varint(buf, n_children)
+
+    node([1, 5], 2)
+    node([2], 1)
+    node([3, 9], 2)
+    node([4, 7], 0)
+    node([0], 0)
+    node([0], 1)
+    node([0], 1)
+    node([255], 0)
+    interop._write_varint(buf, 4)
+    assert p.read_bytes() == buf.getvalue()
+
+
 def test_export_import_cli_large(tmp_path):
     """Large round-trip through the export-ref/import-ref CLI commands."""
     import subprocess

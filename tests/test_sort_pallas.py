@@ -169,3 +169,35 @@ def test_merge_with_duplicates_and_payload():
     ))
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_merge_with_unsorted_forced_pallas(monkeypatch):
+    """merge_with_unsorted's bitonic branch (CBL_TPU_MERGE_KERNEL=
+    pallas-force: lax.sort of the unsorted side + merge_cols_pallas,
+    incl. the single-column tuple normalization) vs lax.sort(concat)."""
+    rng = np.random.default_rng(11)
+    monkeypatch.setenv("CBL_TPU_MERGE_KERNEL", "pallas-force")
+    jax.clear_caches()
+    try:
+        for L in (1, 2):
+            srt = tuple(
+                jnp.asarray(np.sort(rng.integers(0, 1 << 20, 1 << 12))
+                            .astype(np.uint32))
+                for _ in range(L)
+            )
+            if L == 2:  # sorted side must be lexicographically sorted
+                order = np.lexsort((np.asarray(srt[1]), np.asarray(srt[0])))
+                srt = tuple(jnp.asarray(np.asarray(c)[order]) for c in srt)
+            uns = tuple(
+                jnp.asarray(rng.integers(0, 1 << 20, 3 * (1 << 8))
+                            .astype(np.uint32))
+                for _ in range(L)
+            )
+            got = sort_pallas.merge_with_unsorted(srt, uns)
+            want = _oracle(tuple(
+                jnp.concatenate([a, b]) for a, b in zip(srt, uns)
+            ))
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    finally:
+        jax.clear_caches()
