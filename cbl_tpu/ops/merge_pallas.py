@@ -49,6 +49,7 @@ from .sort_pallas import (
     _cmpex,
     _dtype_max,
     _local_iota,
+    _sel,
     _tilesort_call,
 )
 
@@ -116,17 +117,44 @@ def _dyn_lane_roll_left(x, s, use_matmul: bool):
     """y[r, c] = x[r, (c + s) % 128] for a traced scalar s in [0, 128)."""
     if not use_matmul:
         return pltpu.roll(x, (_LANES - s) % _LANES, axis=1)
-    # MXU fallback: one-hot permutation matmul over 4 exact uint8 planes
+    # MXU fallback: one-hot permutation matmul over 4 exact uint8 planes.
+    # Mosaic has no direct uint32<->float32 casts; bounce through int32.
     jrow = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
     ccol = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
     P = ((ccol + s) % _LANES == jrow).astype(jnp.float32)
     out = None
     for byte in range(4):
-        plane = ((x >> (8 * byte)) & jnp.uint32(0xFF)).astype(jnp.float32)
+        plane = (
+            ((x >> (8 * byte)) & jnp.uint32(0xFF))
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
         moved = jnp.dot(plane, P, preferred_element_type=jnp.float32)
-        part = moved.astype(jnp.uint32) << (8 * byte)
+        part = moved.astype(jnp.int32).astype(jnp.uint32) << (8 * byte)
         out = part if out is None else out | part
     return out
+
+
+def _reverse_flat(x, li):
+    """Reverse an (H, 128) array in FLAT element order without lax.rev
+    (unimplemented in Mosaic): i -> N-1-i is an index XOR with N-1, which
+    factors into one unconditional XOR-swap per index bit — the same
+    roll+select exchange `_cmpex` uses (result[i] = x[i ^ j])."""
+    H = x.shape[0]
+    for j_log in range(_LANES_LOG + int(H).bit_length() - 1):
+        j = 1 << j_log
+        if j_log >= _LANES_LOG:
+            axis, sh = 0, j >> _LANES_LOG
+        else:
+            axis, sh = 1, j
+        size = x.shape[axis]
+        lower = (li & j) == 0
+        x = _sel(
+            lower,
+            pltpu.roll(x, size - sh, axis),
+            pltpu.roll(x, sh, axis),
+        )
+    return x
 
 
 def _window(scr_ref, start_flat, length, H: int, dt, use_matmul: bool):
@@ -183,7 +211,8 @@ def _merge_call(dts, t_log: int, nblk_a: int, nblk_b: int, interpret: bool,
             wa = _window(scr_a[l], laA, lenA, H, dts[l], use_matmul)
             wb = _window(scr_b[l], laB, lenB, H, dts[l], use_matmul)
             # [A ascending | B descending] = one bitonic frame of 2T
-            cols.append(jnp.concatenate([wa, wb[::-1, ::-1]], axis=0))
+            wb_rev = _reverse_flat(wb, _local_iota(H))
+            cols.append(jnp.concatenate([wa, wb_rev], axis=0))
         li = _local_iota(2 * H)
         for j_log in range(t_log, -1, -1):
             cols = _cmpex(cols, li, j_log, True)

@@ -33,12 +33,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import limbs
 from ..config import CBLConfig
-from ..ops.sort_pallas import sort_cols_auto
+from ..ops.sort_pallas import merge_with_unsorted, sort_cols_auto
 from ..wordset import (
     MIN_CAP,
     _U32_MAX,
     _compact,
     _next_pow2,
+    _sortjoin_hits,
     _valid_mask,
     sort_rows,
 )
@@ -305,17 +306,23 @@ def _bulk_insert_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
                 send, AXIS, split_axis=0, concat_axis=0, tiled=True
             )
             batch = recv.reshape(D * bucket_cap, L)
-        cat = jnp.concatenate([data[0], batch], axis=0)
-        s = sort_rows(cat)
+        # keep-dups fold (single-device _merge_keepdups_kernel design): the
+        # shard slice stays sorted WITH duplicate rows — one merge instead
+        # of the former sort + dedup-compaction re-sort; the distinct count
+        # is an adjacency pass and dups compact lazily (host `_dedup_now`)
+        d0 = data[0]
+        cols = merge_with_unsorted(
+            tuple(d0[:, l] for l in range(L)),
+            tuple(batch[:, l] for l in range(L)),
+        )
+        s = jnp.stack(cols, axis=-1)[:C_new]
         prev_eq = jnp.concatenate(
             [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
         )
-        keep = _valid_mask(s) & ~prev_eq
-        s = jnp.where(keep[:, None], s, jnp.uint32(0xFFFFFFFF))
-        s = sort_rows(s)
+        distinct = jnp.sum((_valid_mask(s) & ~prev_eq).astype(jnp.int32))
         return (
-            s[None, :C_new],
-            jnp.sum(keep.astype(jnp.int32))[None],
+            s[None],
+            distinct[None],
             jax.lax.psum(dropped, AXIS)[None],
         )
 
@@ -324,6 +331,91 @@ def _bulk_insert_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
+def _dedup_fn(cfg: CBLConfig, mesh: Mesh, C: int):
+    """Compact the keep-dups shard slices: blank duplicate rows (adjacency)
+    and re-sort so live distinct rows are contiguous.  Runs lazily — only
+    when capacity pressure or an exactness-requiring consumer (set algebra,
+    words_array, checkpoints) demands a clean state."""
+    def local(data):
+        s = data[0]
+        prev_eq = jnp.concatenate(
+            [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+        )
+        keep = _valid_mask(s) & ~prev_eq
+        s = jnp.where(keep[:, None], s, jnp.uint32(0xFFFFFFFF))
+        s = sort_rows(s)
+        return s[None], jnp.sum(keep.astype(jnp.int32))[None]
+
+    step = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS),),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
+def _bulk_remove_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
+                         nk_sub: int, C: int, bucket_cap: int):
+    """Fused DP front-end + EP routing + per-shard tagged-sort difference —
+    the bulk-slab REMOVE (reference contract: remove_batch,
+    `/root/reference/src/wordset/mod.rs:218-237`): one device program per
+    D*nk_sub k-mers instead of one host dispatch per 2^14-word batch.
+
+    The local fold sorts (word, tag) with batch rows tagged to sort FIRST
+    in their equal-word run, so any data row preceded by an equal row is
+    removed; duplicate data rows are dropped by the same rule, so the
+    output slice is clean (dedup'd + compact)."""
+    from ..cbl import _device_words
+
+    D = mesh.devices.size
+    L = cfg.word_limbs
+
+    def local_step(data, stream, starts, ends, boundaries):
+        words, _ = _device_words(
+            stream[0], starts[0], ends[0], nk_sub, cfg, canonical
+        )
+        if D == 1:
+            batch = words
+        else:
+            sw = sort_rows(words)
+            send, _ = _route_sorted(sw, boundaries, D, bucket_cap)
+            recv = jax.lax.all_to_all(
+                send, AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+            batch = recv.reshape(D * bucket_cap, L)
+        rows = jnp.concatenate([data[0], batch], axis=0)
+        tag = jnp.concatenate(
+            [
+                jnp.ones((data.shape[1],), jnp.uint32),
+                jnp.zeros((batch.shape[0],), jnp.uint32),
+            ]
+        )
+        ops = tuple(rows[:, l] for l in range(L)) + (tag,)
+        sorted_ops = sort_cols_auto(ops)
+        s = jnp.stack(sorted_ops[:L], axis=-1)
+        is_data = sorted_ops[L] == 1
+        prev_eq = jnp.concatenate(
+            [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+        )
+        keep = _valid_mask(s) & is_data & ~prev_eq
+        s = jnp.where(keep[:, None], s, jnp.uint32(0xFFFFFFFF))
+        s = sort_rows(s)
+        return s[None, :C], jnp.sum(keep.astype(jnp.int32))[None]
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     return jax.jit(step, donate_argnums=(0,))
@@ -377,24 +469,38 @@ def _bulk_count_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
 @lru_cache(maxsize=None)
 def _setop_fn(cfg: CBLConfig, mesh: Mesh, op: str, Ca: int, Cb: int, Cout: int):
     """Shard-aligned set algebra: partitions are identical on both operands,
-    so every op is purely local per shard (SURVEY.md §2.9)."""
-    from ..wordset import _contains_kernel
+    so every op is purely local per shard (SURVEY.md §2.9).  All four ops
+    are ONE tagged streaming sort + adjacency marks + compaction sort —
+    intersection/difference included (random binary-search gathers run ~20x
+    slower than streaming sorts on TPU; kmer.py:94)."""
 
     def local(a, b):
         a0, b0 = a[0], b[0]
+        cat = jnp.concatenate([a0, b0], axis=0)
         if op == "union":
-            cat = jnp.concatenate([a0, b0], axis=0)
             s = sort_rows(cat)
             prev_eq = jnp.concatenate(
                 [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
             )
             keep = _valid_mask(s) & ~prev_eq
         elif op in ("intersection", "difference"):
-            hit = _contains_kernel(b0, a0)
-            s = a0
-            keep = _valid_mask(a0) & (hit if op == "intersection" else ~hit)
+            # sort-join: b rows publish their run; keep a rows by run hit
+            is_b = jnp.concatenate(
+                [
+                    jnp.zeros((a0.shape[0],), dtype=bool),
+                    jnp.ones((b0.shape[0],), dtype=bool),
+                ]
+            )
+            L = a0.shape[-1]
+            cols = tuple(cat[:, l] for l in range(L)) + (
+                is_b.astype(jnp.uint32),
+            )
+            sorted_ops = sort_cols_auto(cols)
+            s = jnp.stack(sorted_ops[:L], axis=-1)
+            in_b, valid = _sortjoin_hits(sorted_ops[:L], sorted_ops[L] == 1)
+            is_a = sorted_ops[L] == 0
+            keep = valid & is_a & (in_b if op == "intersection" else ~in_b)
         elif op == "symmetric_difference":
-            cat = jnp.concatenate([a0, b0], axis=0)
             s = sort_rows(cat)
             prev_eq = jnp.concatenate(
                 [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
@@ -412,6 +518,33 @@ def _setop_fn(cfg: CBLConfig, mesh: Mesh, op: str, Ca: int, Cb: int, Cout: int):
         local,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
+def _union_many_fn(cfg: CBLConfig, mesh: Mesh, Cs: tuple, Cout: int):
+    """k-way union in ONE local concat + sort + adjacency dedup per shard
+    (vs k-1 pairwise unions = k-1 full sorts) — the distributed analog of
+    the reference's k-way heap merge
+    (`/root/reference/src/wordset/set_ops.rs:11-42`)."""
+
+    def local(*slices):
+        cat = jnp.concatenate([x[0] for x in slices], axis=0)
+        s = sort_rows(cat)
+        prev_eq = jnp.concatenate(
+            [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
+        )
+        keep = _valid_mask(s) & ~prev_eq
+        out, n = _compact(s, keep, Cout)
+        return out[None], n[None]
+
+    step = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(P(AXIS) for _ in Cs),
         out_specs=(P(AXIS), P(AXIS)),
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
@@ -530,7 +663,11 @@ class ShardedCBL:
         # whole stream).  `shard_counts` materializes lazily.
         self._counts_dev = None
         self._counts_host: np.ndarray | None = np.zeros(self.D, dtype=np.int64)
-        self._count_upper = 0  # upper bound of max per-shard count
+        # Upper bound of per-shard USED rows: with the keep-dups bulk fold
+        # a shard slice may hold duplicate rows beyond its distinct count,
+        # so capacity checks track used rows, not counts.
+        self._count_upper = 0
+        self._dups = False  # shard slices may contain duplicate rows
         # Range-partition boundaries [D-1, L]; default = uniform top-bit
         # splits, replaced by data quantiles on the first insert (necklace
         # distributions are heavily skewed toward small values).
@@ -603,30 +740,53 @@ class ShardedCBL:
 
     @property
     def shard_counts(self) -> np.ndarray:
-        """Exact per-shard counts (forces a device sync if one is pending)."""
+        """Exact per-shard DISTINCT counts (forces a device sync if one is
+        pending).  Only tightens the used-rows bound when the slices are
+        known duplicate-free."""
         if self._counts_host is None:
             cd = self._counts_dev
             if self._multiproc:
                 cd = _gather_counts_fn(self.mesh)(cd)  # replicated [D]
             self._counts_host = np.asarray(cd).astype(np.int64)
-            self._count_upper = int(self._counts_host.max())
+            if not self._dups:
+                self._count_upper = int(self._counts_host.max())
         return self._counts_host
 
     @shard_counts.setter
     def shard_counts(self, value) -> None:
         self._counts_host = np.asarray(value).astype(np.int64)
         self._counts_dev = None
-        self._count_upper = int(self._counts_host.max())
+        if not self._dups:
+            self._count_upper = int(self._counts_host.max())
 
     def _set_counts_dev(self, counts_dev, upper: int) -> None:
         self._counts_dev = counts_dev
         self._counts_host = None
         self._count_upper = min(upper, self.C)
 
+    def _dedup_now(self) -> None:
+        """Compact duplicate rows out of the shard slices (one blank+sort
+        pass) and tighten the used-rows bound to the exact counts."""
+        fn = _dedup_fn(self.cfg, self.mesh, self.C)
+        self.data, counts = fn(self.data)
+        self._dups = False
+        self._set_counts_dev(counts, self._count_upper)
+        self.shard_counts  # sync: used rows == distinct counts now
+
+    def _ensure_clean(self) -> None:
+        if self._dups:
+            self._dedup_now()
+
     def _ensure_capacity(self, incoming_per_shard: int) -> None:
         need = self._count_upper + incoming_per_shard
         if need <= self.C:
             return
+        if self._dups:
+            # reclaim duplicate rows before paying for a growth pass
+            self._dedup_now()
+            need = self._count_upper + incoming_per_shard
+            if need <= self.C:
+                return
         # the upper bound is pessimistic (it assumes every routed word was
         # new and landed on one shard); sync the real counts before paying
         # for a growth pass
@@ -669,6 +829,7 @@ class ShardedCBL:
             fn = _insert_step_fn(self.cfg, self.mesh, self.C, B)
             dev_words = jax.device_put(buf.reshape(self.D, B, self.L), sharding)
             self.data, counts = fn(self.data, dev_words, bnd)
+            self._dups = False  # this fold dedups the whole slice
             self._set_counts_dev(counts, self._count_upper + self.D * B)
 
     def remove_words(self, words) -> None:
@@ -685,6 +846,7 @@ class ShardedCBL:
             buf[: batch.shape[0]] = batch
             dev_words = jax.device_put(buf.reshape(self.D, B, self.L), sharding)
             self.data, counts = fn(self.data, dev_words, bnd)
+            self._dups = False  # the tagged-sort diff dedups + compacts
             self._set_counts_dev(counts, self._count_upper)
 
     def contains_words(self, words) -> np.ndarray:
@@ -744,6 +906,8 @@ class ShardedCBL:
 
     def _binary_op(self, other: "ShardedCBL", op: str) -> "ShardedCBL":
         assert self.cfg == other.cfg and self.canonical == other.canonical
+        self._ensure_clean()
+        other._ensure_clean()
         if not np.array_equal(self.boundaries, other.boundaries):
             other = self._resharded_copy(other)
         if op in ("union", "symmetric_difference"):
@@ -763,6 +927,8 @@ class ShardedCBL:
         out._boundaries_from_data = self._boundaries_from_data
         fn = _setop_fn(self.cfg, self.mesh, op, self.C, other.C, cout)
         out.data, counts = fn(self.data, other.data)
+        if self._multiproc:
+            counts = _gather_counts_fn(self.mesh)(counts)
         out.shard_counts = np.asarray(counts).astype(np.int64)
         return out
 
@@ -785,11 +951,40 @@ class ShardedCBL:
 
     @staticmethod
     def merge_many(sets: list["ShardedCBL"]) -> "ShardedCBL":
-        """k-way distributed union (local per shard)."""
+        """k-way distributed union: ONE local concat+sort+dedup per shard
+        (the reference's k-way heap merge seam,
+        `/root/reference/src/wordset/set_ops.rs:11-42`) instead of k-1
+        pairwise unions each re-sorting the accumulated result."""
         assert sets
-        out = sets[0]
-        for s in sets[1:]:
-            out = out.union(s)
+        first = sets[0]
+        if len(sets) == 1:
+            return first.union(first)  # copy with first's semantics
+        aligned = []
+        for s in sets:
+            assert s.cfg == first.cfg and s.canonical == first.canonical
+            s._ensure_clean()
+            if not np.array_equal(first.boundaries, s.boundaries):
+                s = first._resharded_copy(s)
+            aligned.append(s)
+        need = int(sum(s.shard_counts for s in aligned).max())
+        cout = max(MIN_CAP, 1 << max(need - 1, 1).bit_length())
+        out = ShardedCBL(
+            k=first.cfg.k,
+            prefix_bits=first.cfg.prefix_bits,
+            canonical=first.canonical,
+            mesh=first.mesh,
+            shard_capacity=cout,
+            batch_per_device=first.B,
+        )
+        out.boundaries = first.boundaries.copy()
+        out._boundaries_from_data = first._boundaries_from_data
+        fn = _union_many_fn(
+            first.cfg, first.mesh, tuple(s.C for s in aligned), cout
+        )
+        out.data, counts = fn(*[s.data for s in aligned])
+        if first._multiproc:
+            counts = _gather_counts_fn(first.mesh)(counts)
+        out.shard_counts = np.asarray(counts).astype(np.int64)
         return out
 
     @staticmethod
@@ -876,6 +1071,7 @@ class ShardedCBL:
         self.data, counts, dropped = fn(
             self.data, stream_g, starts_g, ends_g, jnp.asarray(self.boundaries)
         )
+        self._dups = True  # keep-dups fold; compacts lazily
         self._set_counts_dev(counts, self._count_upper + incoming)
         if int(np.asarray(dropped.addressable_shards[0].data)[0] if
                self._multiproc else np.asarray(dropped)[0]) != 0:
@@ -900,10 +1096,28 @@ class ShardedCBL:
             )
 
     def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
-        """Remove every k-mer of the record stream (distributed analog of
-        `CBL.remove_codes_stream` / reference `remove_seq`)."""
-        for words in self._words_of_codes(codes, offsets):
-            self.remove_words(words)
+        """Remove every k-mer of the record stream — bulk path: one fused
+        pipeline+route+tagged-diff program per slab group (distributed
+        analog of `CBL.remove_codes_stream` / reference `remove_seq`,
+        `/root/reference/src/wordset/mod.rs:218-237`), replacing the former
+        per-2^14-word-batch host loop."""
+        for nk_sub, stream, starts, ends in self._sub_slab_groups(
+            codes, offsets
+        ):
+            bucket_cap = max(4096, _next_pow2((2 * nk_sub) // self.D))
+            fn = _bulk_remove_step_fn(
+                self.cfg, self.canonical, self.mesh, nk_sub, self.C,
+                bucket_cap,
+            )
+            self.data, counts = fn(
+                self.data,
+                self._put_rows(stream),
+                self._put_rows(starts),
+                self._put_rows(ends),
+                jnp.asarray(self.boundaries),
+            )
+            self._dups = False  # the tagged-sort diff dedups + compacts
+            self._set_counts_dev(counts, self._count_upper)
 
     def query_codes_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """(total k-mers, positive k-mers) over the record stream — the
@@ -958,16 +1172,111 @@ class ShardedCBL:
             out.insert_words(words)
         return out
 
+    def _local_shard_ids(self) -> list[int]:
+        """Global mesh positions (along the d axis) of THIS process's
+        devices, in addressable-shard order."""
+        pid = jax.process_index()
+        return [
+            i for i, dev in enumerate(self.mesh.devices.flat)
+            if dev.process_index == pid
+        ]
+
+    @staticmethod
+    def _shard_file(path, process_index: int, process_count: int) -> str:
+        if process_count == 1:
+            return str(path)
+        return f"{path}.proc{process_index:05d}-of-{process_count:05d}.npz"
+
     def save_to_file(self, path) -> None:
-        """Persist as a (single) cbl_tpu index file; the sharded layout is
-        reconstructed at load time (the word set is the canonical state)."""
-        self.to_cbl().save_to_file(path)
+        """Sharded checkpoint: each PROCESS writes one npz holding only its
+        addressable shards (trimmed to live rows) + the header/boundaries —
+        no host gather of non-addressable shards, no single-device re-insert
+        (the reference's serde seam, `/root/reference/src/wordset/mod.rs:382-437`,
+        re-expressed as sharded array checkpoints per SURVEY.md §5.4).
+        Single-process meshes write exactly `path`; multi-process meshes
+        write `path.procNNNNN-of-MMMMM` per process."""
+        self._ensure_clean()
+        counts = self.shard_counts  # synced, replicated
+        ids = self._local_shard_ids()
+        arrs = {
+            "magic": np.frombuffer(b"CBLXSHRD", dtype=np.uint8),
+            "k": np.int64(self.cfg.k),
+            "prefix_bits": np.int64(self.cfg.prefix_bits),
+            "canonical": np.bool_(self.canonical),
+            "n_shards": np.int64(self.D),
+            "process_count": np.int64(jax.process_count()),
+            "boundaries": np.asarray(self.boundaries, dtype=np.uint32),
+            "shard_ids": np.asarray(ids, dtype=np.int64),
+            "counts": counts.astype(np.int64),
+        }
+        # addressable shards come back [1, C, L] in local-device order
+        local = {
+            s.index[0].start if s.index[0].start is not None else 0: s
+            for s in self.data.addressable_shards
+        }
+        for rank, gid in enumerate(ids):
+            rows = np.asarray(local[gid].data)[0, : counts[gid]]
+            arrs[f"rows_{rank}"] = rows.astype(np.uint32)
+        fname = self._shard_file(
+            path, jax.process_index(), jax.process_count()
+        )
+        with open(fname, "wb") as f:  # file handle: np.savez must not
+            np.savez(f, **arrs)       # append .npz to the exact name
 
     @classmethod
     def load_from_file(cls, path, mesh: Mesh | None = None, **kw) -> "ShardedCBL":
-        from ..cbl import CBL
+        """Load a sharded checkpoint: each process reads ITS file and
+        contributes its shards via make_array_from_process_local_data — no
+        process ever materializes the whole index.  The mesh must have the
+        same shard count and process placement as at save time (a different
+        layout can be produced by loading on the saving layout and
+        re-inserting, or via `from_cbl`)."""
+        fname = cls._shard_file(path, jax.process_index(), jax.process_count())
+        try:
+            z = np.load(fname)
+        except FileNotFoundError:
+            z = np.load(str(path))  # single-file fallback (older format)
+        if "magic" not in z or bytes(z["magic"]) != b"CBLXSHRD":
+            # single-device cbl_tpu index file: route through from_cbl
+            from ..cbl import CBL
 
-        return cls.from_cbl(CBL.load_from_file(path), mesh=mesh, **kw)
+            return cls.from_cbl(CBL.load_from_file(path), mesh=mesh, **kw)
+        counts = z["counts"].astype(np.int64)
+        cap = max(MIN_CAP, 1 << max(int(counts.max()) - 1, 1).bit_length())
+        out = cls(
+            k=int(z["k"]),
+            prefix_bits=int(z["prefix_bits"]),
+            canonical=bool(z["canonical"]),
+            mesh=mesh,
+            shard_capacity=cap,
+            **kw,
+        )
+        if out.D != int(z["n_shards"]):
+            raise ValueError(
+                f"checkpoint has {int(z['n_shards'])} shards; mesh has {out.D}"
+            )
+        if int(z["process_count"]) != jax.process_count():
+            raise ValueError(
+                f"checkpoint written by {int(z['process_count'])} processes; "
+                f"running with {jax.process_count()}"
+            )
+        ids = out._local_shard_ids()
+        saved_ids = list(z["shard_ids"])
+        if ids != saved_ids:
+            raise ValueError(
+                f"process owns shards {ids} but checkpoint holds {saved_ids}"
+            )
+        local = np.full(
+            (len(ids), cap, out.L), _U32_MAX, dtype=np.uint32
+        )
+        for rank, gid in enumerate(ids):
+            rows = z[f"rows_{rank}"]
+            local[rank, : rows.shape[0]] = rows
+        out.data = out._put_rows(local)
+        out.boundaries = z["boundaries"]
+        out._boundaries_from_data = True
+        out.shard_counts = counts
+        return out
 
     def shard_balance(self) -> np.ndarray:
         """Words per shard — the load-balance stat for the prefix partition
@@ -978,6 +1287,7 @@ class ShardedCBL:
         """Gather shards into a single-device CBL (exact same word set)."""
         from ..cbl import CBL
 
+        self._ensure_clean()
         out = CBL(
             k=self.cfg.k,
             prefix_bits=self.cfg.prefix_bits,
@@ -993,6 +1303,7 @@ class ShardedCBL:
 
     def words_array(self) -> np.ndarray:
         """[n, L] rows in global sorted order (shard-major == sorted)."""
+        self._ensure_clean()
         host = np.asarray(self.data)
         rows = [host[d, : self.shard_counts[d]] for d in range(self.D)]
         return (

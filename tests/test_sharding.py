@@ -311,3 +311,110 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_checkpoint_roundtrip(mesh, tmp_path):
+    """Per-shard checkpoint: save never gathers the index through a
+    single-device CBL; load re-creates the mesh layout directly and
+    preserves words, counts, boundaries, and canonical mode."""
+    from cbl_tpu.kmer import encode_seq
+
+    seq = _random_nucs(12_000, seed=70)
+    x = ShardedCBL(k=25, canonical=True, mesh=mesh, batch_per_device=512)
+    c = encode_seq(seq)
+    x.insert_codes_stream(c, np.array([0, len(c)]))
+    p = tmp_path / "ck.npz"
+    x.save_to_file(p)
+    back = ShardedCBL.load_from_file(p, mesh=mesh, batch_per_device=512)
+    assert back.canonical
+    assert back.count() == x.count()
+    np.testing.assert_array_equal(back.boundaries, x.boundaries)
+    np.testing.assert_array_equal(back.shard_counts, x.shard_counts)
+    np.testing.assert_array_equal(back.words_array(), x.words_array())
+    # the loaded index stays fully functional: insert + query + remove
+    more = _random_nucs(2_000, seed=71)
+    cm = encode_seq(more)
+    back.insert_codes_stream(cm, np.array([0, len(cm)]))
+    single = CBL.new_canonical(k=25)
+    single.insert_seq(seq)
+    single.insert_seq(more)
+    assert back.count() == single.count()
+    np.testing.assert_array_equal(
+        back.words_array(), single.wordset.words_array()
+    )
+
+
+def test_sharded_remove_stream_bulk(mesh):
+    """Bulk sharded remove (fused pipeline+route+tagged-diff) at stream
+    scale: insert two streams, remove one, compare with single-device."""
+    from cbl_tpu.kmer import encode_seq
+
+    s1 = _random_nucs(20_000, seed=80)
+    s2 = _random_nucs(9_000, seed=81)
+    x = ShardedCBL(k=25, mesh=mesh, batch_per_device=1024)
+    c1, c2 = encode_seq(s1), encode_seq(s2)
+    x.insert_codes_stream(c1, np.array([0, len(c1)]))
+    x.insert_codes_stream(c2, np.array([0, len(c2)]))
+    x.remove_codes_stream(c2, np.array([0, len(c2)]))
+    single = CBL(k=25)
+    single.insert_seq(s1)
+    single.insert_seq(s2)
+    single.remove_codes_stream(c2, np.array([0, len(c2)], dtype=np.int64))
+    assert x.count() == single.count()
+    np.testing.assert_array_equal(
+        x.words_array(), single.wordset.words_array()
+    )
+    # remove everything else too -> empty
+    x.remove_codes_stream(c1, np.array([0, len(c1)]))
+    single.remove_codes_stream(c1, np.array([0, len(c1)], dtype=np.int64))
+    assert x.count() == single.count()
+
+
+def test_sharded_merge_many_words(mesh):
+    """k-way merge is one concat-sort per shard; words must equal the
+    chained single-device union exactly."""
+    from cbl_tpu.kmer import encode_seq
+
+    seqs = [_random_nucs(4_000, seed=90 + i) for i in range(4)]
+    shardeds, singles = [], []
+    for s in seqs:
+        x = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+        c = encode_seq(s)
+        x.insert_codes_stream(c, np.array([0, len(c)]))
+        shardeds.append(x)
+        y = CBL(k=25)
+        y.insert_seq(s)
+        singles.append(y)
+    merged = ShardedCBL.merge_many(shardeds)
+    expect = CBL.merge(singles)
+    assert merged.count() == expect.count()
+    np.testing.assert_array_equal(
+        merged.words_array(), expect.wordset.words_array()
+    )
+
+
+def test_sharded_dup_state_interleaving(mesh):
+    """The keep-dups insert fold must stay exact through interleaved
+    queries, re-inserts of the same stream (max duplication), capacity
+    pressure, and set ops that require a clean state."""
+    from cbl_tpu.kmer import encode_seq
+
+    s1 = _random_nucs(10_000, seed=95)
+    x = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    c1 = encode_seq(s1)
+    off = np.array([0, len(c1)])
+    x.insert_codes_stream(c1, off)
+    n0 = x.count()
+    # re-insert the identical stream twice: every routed word is a dup
+    x.insert_codes_stream(c1, off)
+    x.insert_codes_stream(c1, off)
+    assert x.count() == n0
+    # queries on the dup-holding state
+    total, pos = x.query_codes_stream(c1, off)
+    assert total == pos == len(c1) - 24
+    single = CBL(k=25)
+    single.insert_seq(s1)
+    np.testing.assert_array_equal(
+        x.words_array(), single.wordset.words_array()
+    )
+    assert x.count() == single.count()
