@@ -82,6 +82,34 @@ def multihost_insert_stream(idx, codes: np.ndarray, offsets: np.ndarray,
         )
 
 
+def multihost_remove_stream(idx, codes: np.ndarray, offsets: np.ndarray,
+                            nk_sub: int = 4096, icap: int = 64) -> None:
+    """Remove THIS process's record slice from a global ShardedCBL — the
+    bulk remove analog of `multihost_insert_stream` (reference contract:
+    remove_batch, `/root/reference/src/wordset/mod.rs:218-237`)."""
+    import jax
+    from jax.experimental import multihost_utils as mh
+
+    from .shard import build_slab_groups
+
+    n_proc = jax.process_count()
+    d_local = idx.D // n_proc
+    front = idx._front()
+    nk = max(len(codes) - idx.cfg.k + 1, 0)
+    n_local = (max(nk, 1) + nk_sub - 1) // nk_sub
+    n_groups_local = (n_local + d_local - 1) // d_local
+    n_groups = int(np.max(mh.process_allgather(np.array([n_groups_local]))))
+    for nk_sub_, stream, starts, ends in build_slab_groups(
+        front, codes, offsets, nk_sub, d_local, icap=icap, n_groups=n_groups
+    ):
+        idx._remove_group(
+            nk_sub_,
+            idx._put_rows(stream),
+            idx._put_rows(starts),
+            idx._put_rows(ends),
+        )
+
+
 def multihost_query_stream(idx, codes: np.ndarray, offsets: np.ndarray,
                            nk_sub: int = 4096, icap: int = 64):
     """(total, positive) over the UNION of all processes' record slices."""
@@ -114,12 +142,28 @@ def multihost_query_stream(idx, codes: np.ndarray, offsets: np.ndarray,
     return idx._reduce_query(total_dev, positive_dev)
 
 
+def _assert_local_shards_match(idx, ref_words: np.ndarray, ctx: str) -> None:
+    """Word-level placement check: this process's shard slices must equal
+    the corresponding count-delimited slices of the single-device sorted
+    word array (shard-major == global sorted order) — a routing bug that
+    misplaces words while preserving the global count fails here."""
+    counts = idx.shard_counts
+    assert int(counts.sum()) == ref_words.shape[0], (
+        ctx, int(counts.sum()), ref_words.shape[0])
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for gid, rows in idx.local_shard_rows().items():
+        expect = ref_words[starts[gid] : starts[gid + 1]]
+        np.testing.assert_array_equal(rows, expect, err_msg=f"{ctx} shard {gid}")
+
+
 def run_multihost_dryrun_worker(coordinator: str, n_proc: int, pid: int,
                                 bases: int = 60_000, k: int = 25) -> None:
     """Worker body for the 2-process CPU validation (BASELINE config 5's
     testable half): initialize the process group, build ONE global
-    ShardedCBL from per-process record slices, and verify count + query
-    totals against a single-device reference build."""
+    ShardedCBL from per-process record slices, then verify against a
+    single-device build of the full stream at WORD level (exact shard
+    placement), through a remove round, a set-algebra op, and a sharded
+    checkpoint round-trip."""
     import jax
 
     jax.distributed.initialize(
@@ -147,6 +191,7 @@ def run_multihost_dryrun_worker(coordinator: str, n_proc: int, pid: int,
     ref.insert_codes_stream(codes, offsets)
     expect = ref.count()
     assert n == expect, f"multihost count {n} != single-device {expect}"
+    _assert_local_shards_match(idx, ref.wordset.words_array(), "build")
 
     total, positive = multihost_query_stream(idx, codes_l, offsets_l)
     nk_expect = sum(
@@ -155,8 +200,41 @@ def run_multihost_dryrun_worker(coordinator: str, n_proc: int, pid: int,
     )
     assert total == nk_expect, (total, nk_expect)
     assert positive == total, (positive, total)
+
+    # sharded checkpoint round-trip: one npz per process, no global gather
+    ck = f"/tmp/cbl_mh_ck_{coordinator.rsplit(':', 1)[-1]}.npz"
+    idx.save_to_file(ck)
+    back = ShardedCBL.load_from_file(ck, mesh=mesh)
+    assert back.count() == n
+    _assert_local_shards_match(back, ref.wordset.words_array(), "checkpoint")
+
+    # remove round: every process removes the FIRST record of its slice
+    rm_off = offsets_l[:2].copy()
+    rm_codes = codes_l[: rm_off[1]]
+    multihost_remove_stream(idx, rm_codes, rm_off)
+    for p in range(n_proc):
+        plo, phi = host_record_slice(offsets, p, n_proc)
+        sub, sub_off = slice_codes(codes, offsets, plo, phi)
+        ref.remove_codes_stream(sub[: sub_off[1]], sub_off[:2])
+    assert idx.count() == ref.count(), (idx.count(), ref.count())
+    _assert_local_shards_match(idx, ref.wordset.words_array(), "remove")
+    t2, p2 = multihost_query_stream(idx, codes_l, offsets_l)
+    assert t2 == nk_expect and 0 < p2 < t2, (t2, p2)
+
+    # set algebra across the mesh: intersect with the checkpoint copy
+    # (= pre-remove set), expect exactly the post-remove set back
+    inter = idx & back
+    assert inter.count() == idx.count()
+    _assert_local_shards_match(inter, ref.wordset.words_array(), "intersect")
     if pid == 0:
-        print(f"MULTIHOST_OK n={n} total={total}", flush=True)
+        import os
+
+        for f in (ck, ShardedCBL._shard_file(ck, 0, n_proc),
+                  ShardedCBL._shard_file(ck, 1, n_proc)):
+            if os.path.exists(f):
+                os.remove(f)
+        print(f"MULTIHOST_OK n={n} total={total} after_remove={idx.count()}",
+              flush=True)
 
 
 def launch_multihost_dryrun(n_proc: int = 2, devices_per_proc: int = 4,

@@ -1104,20 +1104,25 @@ class ShardedCBL:
         for nk_sub, stream, starts, ends in self._sub_slab_groups(
             codes, offsets
         ):
-            bucket_cap = max(4096, _next_pow2((2 * nk_sub) // self.D))
-            fn = _bulk_remove_step_fn(
-                self.cfg, self.canonical, self.mesh, nk_sub, self.C,
-                bucket_cap,
-            )
-            self.data, counts = fn(
-                self.data,
+            self._remove_group(
+                nk_sub,
                 self._put_rows(stream),
                 self._put_rows(starts),
                 self._put_rows(ends),
-                jnp.asarray(self.boundaries),
             )
-            self._dups = False  # the tagged-sort diff dedups + compacts
-            self._set_counts_dev(counts, self._count_upper)
+
+    def _remove_group(self, nk_sub: int, stream_g, starts_g, ends_g) -> None:
+        """One bulk remove step on already-sharded device inputs."""
+        bucket_cap = max(4096, _next_pow2((2 * nk_sub) // self.D))
+        fn = _bulk_remove_step_fn(
+            self.cfg, self.canonical, self.mesh, nk_sub, self.C, bucket_cap
+        )
+        self.data, counts = fn(
+            self.data, stream_g, starts_g, ends_g,
+            jnp.asarray(self.boundaries),
+        )
+        self._dups = False  # the tagged-sort diff dedups + compacts
+        self._set_counts_dev(counts, self._count_upper)
 
     def query_codes_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """(total k-mers, positive k-mers) over the record stream — the
@@ -1172,6 +1177,19 @@ class ShardedCBL:
             out.insert_words(words)
         return out
 
+    def local_shard_rows(self) -> dict:
+        """{global shard id: [count_d, L] live rows} for THIS process's
+        addressable shards — multi-process safe (never touches
+        non-addressable shards).  Shard-major concatenation across all
+        processes equals the global sorted word order."""
+        self._ensure_clean()
+        counts = self.shard_counts
+        out = {}
+        for s in self.data.addressable_shards:
+            gid = s.index[0].start if s.index[0].start is not None else 0
+            out[gid] = np.asarray(s.data)[0, : counts[gid]]
+        return out
+
     def _local_shard_ids(self) -> list[int]:
         """Global mesh positions (along the d axis) of THIS process's
         devices, in addressable-shard order."""
@@ -1195,8 +1213,7 @@ class ShardedCBL:
         re-expressed as sharded array checkpoints per SURVEY.md §5.4).
         Single-process meshes write exactly `path`; multi-process meshes
         write `path.procNNNNN-of-MMMMM` per process."""
-        self._ensure_clean()
-        counts = self.shard_counts  # synced, replicated
+        local = self.local_shard_rows()  # cleans + syncs counts
         ids = self._local_shard_ids()
         arrs = {
             "magic": np.frombuffer(b"CBLXSHRD", dtype=np.uint8),
@@ -1207,16 +1224,10 @@ class ShardedCBL:
             "process_count": np.int64(jax.process_count()),
             "boundaries": np.asarray(self.boundaries, dtype=np.uint32),
             "shard_ids": np.asarray(ids, dtype=np.int64),
-            "counts": counts.astype(np.int64),
-        }
-        # addressable shards come back [1, C, L] in local-device order
-        local = {
-            s.index[0].start if s.index[0].start is not None else 0: s
-            for s in self.data.addressable_shards
+            "counts": self.shard_counts.astype(np.int64),
         }
         for rank, gid in enumerate(ids):
-            rows = np.asarray(local[gid].data)[0, : counts[gid]]
-            arrs[f"rows_{rank}"] = rows.astype(np.uint32)
+            arrs[f"rows_{rank}"] = local[gid].astype(np.uint32)
         fname = self._shard_file(
             path, jax.process_index(), jax.process_count()
         )
