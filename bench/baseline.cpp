@@ -179,8 +179,61 @@ static int run_dynamic(const std::vector<uint8_t>& codes) {
   return 0;
 }
 
+static std::vector<int64_t> read_offsets(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { fprintf(stderr, "cannot open %s\n", path); exit(2); }
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<int64_t> off(n / 8);
+  if (fread(off.data(), 8, off.size(), f) != off.size()) exit(2);
+  fclose(f);
+  return off;
+}
+
+// Multi-record build + separate multi-record query stream (bench.py
+// --corpus genome: repeat-rich records, ~50% query hit rate) — the
+// record-stream loop of the reference CLI, /root/reference/examples/cbl.rs
+// :143-167 / :202-229, on the same flat hash set as the static mode.
+static int run_records(const std::vector<uint8_t>& codes,
+                       const std::vector<int64_t>& off,
+                       const std::vector<uint8_t>& qcodes,
+                       const std::vector<int64_t>& qoff) {
+  size_t nk_i = 0, nk_q = 0;
+  for (size_t r = 0; r + 1 < off.size(); r++) {
+    int64_t len = off[r + 1] - off[r];
+    if (len >= K) nk_i += (size_t)(len - K + 1);
+  }
+  for (size_t r = 0; r + 1 < qoff.size(); r++) {
+    int64_t len = qoff[r + 1] - qoff[r];
+    if (len >= K) nk_q += (size_t)(len - K + 1);
+  }
+  size_t cap = 1;
+  while (cap < nk_i * 2 + 2) cap <<= 1;
+  HashSet set(cap);
+  using clk = std::chrono::steady_clock;
+  auto t0 = clk::now();
+  for (size_t r = 0; r + 1 < off.size(); r++)
+    for_each_packed(codes.data() + off[r], (size_t)(off[r + 1] - off[r]),
+                    [&](uint64_t wd) { set.insert(wd); });
+  auto t1 = clk::now();
+  size_t positive = 0;
+  for (size_t r = 0; r + 1 < qoff.size(); r++)
+    for_each_packed(qcodes.data() + qoff[r], (size_t)(qoff[r + 1] - qoff[r]),
+                    [&](uint64_t wd) { positive += set.contains(wd); });
+  auto t2 = clk::now();
+  double ti = std::chrono::duration<double>(t1 - t0).count();
+  double tq = std::chrono::duration<double>(t2 - t1).count();
+  printf(
+      "{\"mode\": \"records\", \"n_kmers_insert\": %zu, \"n_kmers_query\": "
+      "%zu, \"distinct\": %zu, \"positive\": %zu, \"insert_s\": %.6f, "
+      "\"query_s\": %.6f}\n",
+      nk_i, nk_q, set.count, positive, ti, tq);
+  return 0;
+}
+
 int main(int argc, char** argv) {
-  if (argc < 2) { fprintf(stderr, "usage: baseline <codes.bin> [dynamic]\n"); return 2; }
+  if (argc < 2) { fprintf(stderr, "usage: baseline <codes.bin> [dynamic | records <off.bin> <qcodes.bin> <qoff.bin>]\n"); return 2; }
   FILE* f = fopen(argv[1], "rb");
   if (!f) { fprintf(stderr, "cannot open %s\n", argv[1]); return 2; }
   fseek(f, 0, SEEK_END);
@@ -191,6 +244,19 @@ int main(int argc, char** argv) {
   fclose(f);
   if (n < K) { fprintf(stderr, "input too short\n"); return 2; }
   if (argc > 2 && strcmp(argv[2], "dynamic") == 0) return run_dynamic(codes);
+  if (argc > 5 && strcmp(argv[2], "records") == 0) {
+    std::vector<int64_t> off = read_offsets(argv[3]);
+    FILE* qf = fopen(argv[4], "rb");
+    if (!qf) { fprintf(stderr, "cannot open %s\n", argv[4]); return 2; }
+    fseek(qf, 0, SEEK_END);
+    long qn = ftell(qf);
+    fseek(qf, 0, SEEK_SET);
+    std::vector<uint8_t> qcodes(qn);
+    if (fread(qcodes.data(), 1, qn, qf) != (size_t)qn) return 2;
+    fclose(qf);
+    std::vector<int64_t> qoff = read_offsets(argv[5]);
+    return run_records(codes, off, qcodes, qoff);
+  }
   size_t n_kmers = n - K + 1;
 
   size_t cap = 1;
