@@ -178,6 +178,23 @@ def _fused_query_fn(cfg: CBLConfig, canonical: bool, nk_pad: int,
 
 
 @lru_cache(maxsize=None)
+def _fused_contains_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
+    """(stream, starts, ends, data) -> [nk_pad] bool mask in k-mer start
+    order (blanked rows False) — the ordered-membership analog of
+    `_fused_query_fn`: the whole record stream's masks come back in
+    O(slabs) device programs instead of one dispatch per sequence
+    (reference `contains_seq`, `/root/reference/src/cbl.rs:311-324`)."""
+    from .wordset import _contains_sortjoin_kernel
+
+    def run(stream, starts, ends, data):
+        words, _ = _device_words(stream, starts, ends, nk_pad, cfg,
+                                 canonical)
+        return _contains_sortjoin_kernel(data, words)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
 def _kmer_word_fn(cfg: CBLConfig, canonical: bool):
     """[N, L] k-mer limbs -> [N, L] packed words (point-op path,
     `src/cbl.rs:199-206`)."""
@@ -600,22 +617,75 @@ class CBL:
     def contains_seq(self, seq) -> np.ndarray:
         """Per-k-mer membership, in sequence order (see module docstring)."""
         self._check_len(seq)
+        return self.contains_seqs([seq])[0]
+
+    def contains_seqs(self, seqs) -> list[np.ndarray]:
+        """Ordered membership masks for a whole sequence batch in O(slabs)
+        device programs + ONE device transfer (not one dispatch + flush per
+        sequence — ~28ms RPC each on a tunnel link)."""
+        for s in seqs:
+            self._check_len(s)
+        codes_list = [self._codes_of(s) for s in seqs]
+        offsets = np.cumsum([0] + [len(c) for c in codes_list],
+                            dtype=np.int64)
+        codes = (
+            np.concatenate(codes_list)
+            if codes_list
+            else np.zeros(0, dtype=np.uint8)
+        )
+        return self.contains_codes_stream(codes, offsets)
+
+    def contains_codes_stream(self, codes: np.ndarray,
+                              offsets: np.ndarray) -> list[np.ndarray]:
+        """Per-record ordered membership masks over a concatenated code
+        stream (the bulk `contains_seq`): record r gets a bool array of its
+        max(len_r - K + 1, 0) k-mers in sequence order."""
+        k = self.cfg.k
+        flat = self._contains_flat(codes, offsets)
+        out = []
+        for r in range(len(offsets) - 1):
+            lo = int(offsets[r])
+            hi = max(int(offsets[r + 1]) - k + 1, lo)
+            out.append(flat[lo:hi])
+        return out
+
+    def _contains_flat(self, codes: np.ndarray,
+                       offsets: np.ndarray) -> np.ndarray:
+        """[nk] bool mask over every k-mer start of the code stream
+        (record-spanning starts are False).  Large streams use the fused
+        slab sort-join (one program per <=2^25-k-mer slab); small ones the
+        radix-window/binary-search word path (a sort-join would pay a full
+        index sort for a handful of queries)."""
+        from .wordset import _SORTJOIN_MIN_QUERIES
+
+        nk = max(len(codes) - self.cfg.k + 1, 0)
         self.wordset.flush()
+        if nk == 0:
+            return np.zeros(0, dtype=bool)
+        if nk >= _SORTJOIN_MIN_QUERIES:
+            data = self.wordset._live()
+            masks, ns = [], []
+            for nk_pad, stream, s_arr, e_arr, n_here in self._fused_slabs(
+                codes, offsets
+            ):
+                masks.append(
+                    _fused_contains_fn(self.cfg, self.canonical, nk_pad)(
+                        stream, s_arr, e_arr, data
+                    )
+                )
+                ns.append(n_here)
+            host = jax.device_get(masks)  # one transfer for the stream
+            return np.concatenate([m[:n] for m, n in zip(host, ns)])
         masks, ns = [], []
-        for words, vbuf, n in self._seqs_words([seq]):
+        for words, _, n in self._stream_words(
+            codes, self._stream_valid(codes, offsets)
+        ):
             masks.append(self.wordset.contains_words(words))
             ns.append(n)
         if not masks:
             return np.zeros(0, dtype=bool)
-        masks = jax.device_get(masks)  # one transfer for the whole stream
-        return np.concatenate([m[:n] for m, n in zip(masks, ns)])
-
-    def contains_seqs(self, seqs) -> list[np.ndarray]:
-        res = []
-        for s in seqs:
-            self._check_len(s)
-            res.append(self.contains_seq(s))
-        return res
+        host = jax.device_get(masks)
+        return np.concatenate([m[:n] for m, n in zip(host, ns)])
 
     def contains_all(self, seq) -> bool:
         """True iff every k-mer of `seq` is present

@@ -467,6 +467,60 @@ def _bulk_count_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
 
 
 @lru_cache(maxsize=None)
+def _bulk_contains_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
+                           nk_sub: int, C: int):
+    """Fused DP front-end + routed ORDERED membership: every device
+    pipelines its stream slice, routes words to owner shards (rank-stable
+    bucketing so results can be un-bucketed), joins locally with the
+    position-payload sort-join, and routes the hit bits back.  Returns the
+    [D, nk_sub] mask in k-mer start order (blanked rows False) — the
+    distributed `contains_seq` (`/root/reference/src/cbl.rs:311-324`)."""
+    from ..cbl import _device_words
+    from ..wordset import _contains_sortjoin_kernel
+
+    D = mesh.devices.size
+    L = cfg.word_limbs
+
+    def local_step(data, stream, starts, ends, boundaries):
+        words, _ = _device_words(
+            stream[0], starts[0], ends[0], nk_sub, cfg, canonical
+        )
+        if D == 1:
+            return _contains_sortjoin_kernel(data[0], words)[None]
+        owner = _owner_of(words, boundaries)
+        onehot = (
+            owner[:, None] == jnp.arange(D, dtype=jnp.uint32)[None, :]
+        ).astype(jnp.int32)
+        rank = jnp.cumsum(onehot, axis=0) - 1
+        my_rank = jnp.take_along_axis(
+            rank, owner[:, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        slot = owner.astype(jnp.int32) * nk_sub + my_rank
+        flat = jnp.full((D * nk_sub, L), _U32_MAX, dtype=jnp.uint32)
+        flat = flat.at[slot].set(words, mode="drop")
+        recv = jax.lax.all_to_all(
+            flat.reshape(D, nk_sub, L), AXIS, split_axis=0, concat_axis=0,
+            tiled=True,
+        )
+        hits = _contains_sortjoin_kernel(data[0], recv.reshape(D * nk_sub, L))
+        back = jax.lax.all_to_all(
+            hits.reshape(D, nk_sub), AXIS, split_axis=0, concat_axis=0,
+            tiled=True,
+        )
+        mine = back.reshape(D * nk_sub)[slot]  # un-bucket to stream order
+        return mine[None]
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=P(AXIS),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
 def _setop_fn(cfg: CBLConfig, mesh: Mesh, op: str, Ca: int, Cb: int, Cout: int):
     """Shard-aligned set algebra: partitions are identical on both operands,
     so every op is purely local per shard (SURVEY.md §2.9).  All four ops
@@ -1144,6 +1198,65 @@ class ShardedCBL:
         if total_dev is None:
             return 0, 0
         return self._reduce_query(total_dev, positive_dev)
+
+    def contains_codes_stream(self, codes: np.ndarray,
+                              offsets: np.ndarray) -> list:
+        """Per-record ORDERED membership masks over the record stream —
+        the distributed `contains_seq` equivalent (one fused
+        pipeline+route+join+route-back program per slab group).  Result
+        assembly reads every shard's mask, so this entry point is for
+        single-process meshes (multi-process callers keep the counting
+        query, whose scalars replicate)."""
+        k = self.cfg.k
+        nk = max(len(codes) - k + 1, 0)
+        parts = []
+        for nk_sub, stream, starts, ends in self._sub_slab_groups(
+            codes, offsets
+        ):
+            fn = _bulk_contains_step_fn(
+                self.cfg, self.canonical, self.mesh, nk_sub, self.C
+            )
+            m = fn(
+                self.data,
+                self._put_rows(stream),
+                self._put_rows(starts),
+                self._put_rows(ends),
+                jnp.asarray(self.boundaries),
+            )
+            parts.append(np.asarray(m).reshape(-1))
+        flat = (
+            np.concatenate(parts)[:nk]
+            if parts
+            else np.zeros(0, dtype=bool)
+        )
+        out = []
+        for r in range(len(offsets) - 1):
+            lo = int(offsets[r])
+            hi = max(int(offsets[r + 1]) - k + 1, lo)
+            out.append(flat[lo:hi])
+        return out
+
+    def contains_seqs(self, seqs) -> list:
+        """Ordered membership masks for a sequence batch (distributed
+        analog of `CBL.contains_seqs`)."""
+        from ..kmer import encode_seq
+
+        codes_list = [
+            s if isinstance(s, np.ndarray) and s.dtype == np.uint8
+            else encode_seq(s)
+            for s in seqs
+        ]
+        offsets = np.cumsum([0] + [len(c) for c in codes_list],
+                            dtype=np.int64)
+        codes = (
+            np.concatenate(codes_list)
+            if codes_list
+            else np.zeros(0, dtype=np.uint8)
+        )
+        return self.contains_codes_stream(codes, offsets)
+
+    def contains_seq(self, seq) -> np.ndarray:
+        return self.contains_seqs([seq])[0]
 
     def _query_group(self, nk_sub: int, stream_g, starts_g, ends_g):
         fn = _bulk_count_step_fn(

@@ -331,3 +331,54 @@ def test_insert_after_remove_interleaved_streams():
         idx.remove_codes_stream(half, off_h)
         oracle -= {kmer_to_int(half[j : j + k]) for j in range(len(half) - k + 1)}
         assert idx.count() == len(oracle), f"round {i}"
+
+
+def test_contains_seqs_bulk_matches_per_seq():
+    """contains_seqs (fused bulk path) must equal per-sequence word-path
+    masks for mixed hit/miss multi-record batches, across both the
+    small-stream and (forced) fused-slab dispatch."""
+    import numpy as np
+
+    from cbl_tpu import wordset as wmod
+    from cbl_tpu.kmer import decode_codes
+
+    rng = np.random.default_rng(42)
+    base = decode_codes(rng.integers(0, 4, size=6_000, dtype=np.uint8))
+    idx = CBL(k=25)
+    idx.insert_seq(base)
+
+    queries = [
+        base[100:900],
+        decode_codes(rng.integers(0, 4, size=700, dtype=np.uint8)),
+        base[3_000:3_030],  # tiny record: 6 k-mers
+        decode_codes(rng.integers(0, 4, size=40, dtype=np.uint8)),
+    ]
+
+    def oracle(seq):
+        # per-k-mer membership via the point-word path
+        from cbl_tpu.kmer import encode_seq
+
+        codes = encode_seq(seq)
+        valid = idx._stream_valid(codes, np.array([0, len(codes)]))
+        masks, ns = [], []
+        for words, _, n in idx._stream_words(codes, valid):
+            masks.append(np.asarray(idx.wordset.contains_words(words)))
+            ns.append(n)
+        return np.concatenate([m[:n] for m, n in zip(masks, ns)])
+
+    got = idx.contains_seqs(queries)
+    for g, q in zip(got, queries):
+        np.testing.assert_array_equal(g, oracle(q))
+    assert got[0].all() and got[2].all()
+    assert not got[1].any() and not got[3].any()
+
+    # force the fused-slab sort-join dispatch with a tiny threshold
+    orig = wmod._SORTJOIN_MIN_QUERIES
+    try:
+        import cbl_tpu.cbl  # noqa: F401  (threshold read at call time)
+        wmod._SORTJOIN_MIN_QUERIES = 1
+        got2 = idx.contains_seqs(queries)
+        for g, g2 in zip(got, got2):
+            np.testing.assert_array_equal(g, g2)
+    finally:
+        wmod._SORTJOIN_MIN_QUERIES = orig

@@ -418,3 +418,30 @@ def test_sharded_dup_state_interleaving(mesh):
         x.words_array(), single.wordset.words_array()
     )
     assert x.count() == single.count()
+
+
+def test_sharded_contains_seqs_ordered(mesh):
+    """Distributed ordered membership: per-record masks must equal the
+    single-device contains_seq exactly (mixed hits/misses, multi-record)."""
+    from cbl_tpu.kmer import encode_seq
+
+    s1 = _random_nucs(9_000, seed=100)
+    x = ShardedCBL(k=25, mesh=mesh, batch_per_device=512)
+    c1 = encode_seq(s1)
+    x.insert_codes_stream(c1, np.array([0, len(c1)]))
+    single = CBL(k=25)
+    single.insert_seq(s1)
+
+    queries = [
+        s1[:2_000],                      # all hits
+        _random_nucs(1_500, seed=101),   # ~all misses
+        s1[4_000:5_000],                 # hits
+    ]
+    got = x.contains_seqs(queries)
+    expect = single.contains_seqs(queries)
+    assert len(got) == len(expect) == 3
+    for g, e, q in zip(got, expect, queries):
+        assert g.shape[0] == len(q) - 24
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+    assert got[0].all() and got[2].all()
+    assert not got[1].any()
