@@ -274,13 +274,13 @@ def run_tpu_dynamic(codes: np.ndarray, repeats: int):
                   for i in range(SEGS)]
         pos_dev = None
         for i in range(SEGS):
-            idx.insert_codes_stream(segs[i])
-            ops += sb - k + 1
-            t, p = idx.query_codes_stream(segs[i - 1 if i else 0], lazy=True)
+            # fused round: ONE device program for insert+query+remove (the
+            # workload is dispatch-bound on a high-latency link; session14)
+            t, p = idx.dynamic_round(
+                segs[i], segs[i - 1 if i else 0], halves[i], lazy=True
+            )
             pos_dev = p if pos_dev is None else pos_dev + p
-            ops += sb - k + 1
-            idx.remove_codes_stream(halves[i])
-            ops += sb // 2 - k + 1
+            ops += 2 * (sb - k + 1) + sb // 2 - k + 1
         n = idx.count()
         positive = int(pos_dev)
         total_s = time.time() - t0

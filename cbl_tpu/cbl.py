@@ -195,6 +195,76 @@ def _fused_contains_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
 
 
 @lru_cache(maxsize=None)
+def _fused_round_fn(cfg: CBLConfig, canonical: bool, nk_i: int, nk_q: int,
+                    nk_r: int, use_merge: bool):
+    """One interleaved dynamic round as a SINGLE device program:
+    pipeline all three streams, append the inserts to the pending log,
+    count-join the queries against data ⊕ log (inserts visible, removes
+    of this round not yet — the sequential op order of the reference's
+    per-op updates, `/root/reference/src/wordset/mod.rs:97-137`), then
+    append the removes to the log.
+
+    Rationale: the interleaved workload is DISPATCH-bound on a
+    high-latency link (session14 profile: ~8 host dispatches/round at
+    10-30ms wire cost each vs ~20ms of compute); this fuses a round into
+    one dispatch.  Returns (pending', tags', total_q, positive)."""
+    from functools import partial as _partial
+
+    from .wordset import _U32_MAX as _MAX
+    from .wordset import _log_join_count, sort_cols_auto
+    from .ops.sort_pallas import merge_with_unsorted
+
+    L = cfg.word_limbs
+
+    @_partial(jax.jit, donate_argnums=(0, 1))
+    def run(pending, tags, off, data, stream_i, s_i, e_i, stream_q, s_q,
+            e_q, stream_r, s_r, e_r):
+        w_i, _ = _device_words(stream_i, s_i, e_i, nk_i, cfg, canonical)
+        w_q, n_valid_q = _device_words(stream_q, s_q, e_q, nk_q, cfg,
+                                       canonical)
+        w_r, _ = _device_words(stream_r, s_r, e_r, nk_r, cfg, canonical)
+        pending = jax.lax.dynamic_update_slice(
+            pending, w_i, (off, jnp.int32(0))
+        )
+        seq_i = jnp.arange(nk_i, dtype=jnp.uint32) + 1 + off.astype(jnp.uint32)
+        tags = jax.lax.dynamic_update_slice(
+            tags, (seq_i << 1) | jnp.uint32(1), (off,)
+        )
+        C = data.shape[0]
+        if use_merge:  # data sorted + contiguous: sort only log ⊕ queries
+            s = merge_with_unsorted(
+                tuple(data[:, l] for l in range(L))
+                + (jnp.ones((C,), jnp.uint32),),
+                tuple(jnp.concatenate([pending[:, l], w_q[:, l]])
+                      for l in range(L))
+                + (jnp.concatenate(
+                    [tags, jnp.full((nk_q,), _MAX, jnp.uint32)]
+                ),),
+            )
+        else:
+            rows = jnp.concatenate([data, pending, w_q], axis=0)
+            seqtag = jnp.concatenate(
+                [jnp.ones((C,), jnp.uint32), tags,
+                 jnp.full((nk_q,), _MAX, jnp.uint32)]
+            )
+            s = sort_cols_auto(
+                tuple(rows[:, l] for l in range(L)) + (seqtag,)
+            )
+        positive = _log_join_count(s, L)
+        off2 = off + nk_i
+        pending = jax.lax.dynamic_update_slice(
+            pending, w_r, (off2, jnp.int32(0))
+        )
+        seq_r = jnp.arange(nk_r, dtype=jnp.uint32) + 1 + off2.astype(
+            jnp.uint32
+        )
+        tags = jax.lax.dynamic_update_slice(tags, seq_r << 1, (off2,))
+        return pending, tags, n_valid_q, positive
+
+    return run
+
+
+@lru_cache(maxsize=None)
 def _kmer_word_fn(cfg: CBLConfig, canonical: bool):
     """[N, L] k-mer limbs -> [N, L] packed words (point-op path,
     `src/cbl.rs:199-206`)."""
@@ -587,6 +657,57 @@ class CBL:
             return total_dev, positive_dev
         t, p = jax.device_get((total_dev, positive_dev))
         return int(t), int(p)
+
+    def dynamic_round(self, ins, qry, rm, lazy: bool = False):
+        """One interleaved round — insert every k-mer of `ins`, count-query
+        `qry` (sees the inserts, not yet the removes), remove every k-mer
+        of `rm` — fused into ONE device program where possible (single-slab
+        streams that fit the pending log; otherwise the separate calls).
+        Args are PackedStreams or (codes, offsets) tuples.  Returns
+        (total, positive) ints, or unsynced device scalars with lazy=True.
+        """
+        ps_i = self._resolve_round_stream(ins)
+        ps_q = self._resolve_round_stream(qry)
+        ps_r = self._resolve_round_stream(rm)
+        ws = self.wordset
+        fusable = (
+            len(ps_i.slabs) == 1 and len(ps_q.slabs) == 1
+            and len(ps_r.slabs) == 1
+            and ps_i.slabs[0][0] + ps_r.slabs[0][0] <= ws.pending_cap
+        )
+        if not fusable:
+            self.insert_codes_stream(ps_i)
+            t, p = self.query_codes_stream(ps_q, lazy=lazy)
+            self.remove_codes_stream(ps_r)
+            return t, p
+        nk_i, st_i, s_i, e_i, _ = ps_i.slabs[0]
+        nk_q, st_q, s_q, e_q, _ = ps_q.slabs[0]
+        nk_r, st_r, s_r, e_r, _ = ps_r.slabs[0]
+        if ws.n_pending + nk_i + nk_r > ws.pending_cap:
+            ws.flush()
+        use_merge = not ws._holes and ws._n_upper > 0
+        fn = _fused_round_fn(
+            self.cfg, self.canonical, nk_i, nk_q, nk_r, use_merge
+        )
+        ws.pending, ws.pending_tags, total, positive = fn(
+            ws.pending, ws.pending_tags, jnp.int32(ws.n_pending),
+            ws._live(), st_i, s_i, e_i, st_q, s_q, e_q, st_r, s_r, e_r,
+        )
+        ws.n_pending += nk_i + nk_r
+        ws._pending_rm = True
+        if lazy:
+            return total, positive
+        t, p = jax.device_get((total, positive))
+        return int(t), int(p)
+
+    def _resolve_round_stream(self, x) -> "PackedStream":
+        if isinstance(x, PackedStream):
+            return self._resolve_stream(x, None)
+        if isinstance(x, tuple):
+            return self._resolve_stream(*x)
+        raise TypeError(
+            "dynamic_round takes PackedStreams or (codes, offsets) tuples"
+        )
 
     def _check_len(self, seq) -> None:
         # `src/cbl.rs:293-298`: assert seq.len() >= K

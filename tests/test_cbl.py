@@ -382,3 +382,61 @@ def test_contains_seqs_bulk_matches_per_seq():
             np.testing.assert_array_equal(g, g2)
     finally:
         wmod._SORTJOIN_MIN_QUERIES = orig
+
+
+def test_dynamic_round_fused_matches_unfused():
+    """The fused interleaved round (one device program) must match the
+    separate insert/query/remove calls exactly: per-round positives, final
+    count, and final word set."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    bases = 40_000
+    codes = rng.integers(0, 4, size=bases, dtype=np.uint8)
+    SEGS = 4
+    sb = bases // SEGS
+    off1 = np.array([0, sb], dtype=np.int64)
+    off_h = np.array([0, sb // 2], dtype=np.int64)
+
+    def run(fused: bool):
+        idx = CBL(k=25)
+        segs = [idx.pack_stream(codes[i * sb:(i + 1) * sb], off1)
+                for i in range(SEGS)]
+        halves = [idx.pack_stream(codes[i * sb:i * sb + sb // 2], off_h)
+                  for i in range(SEGS)]
+        pos = []
+        for i in range(SEGS):
+            q = segs[i - 1 if i else 0]
+            if fused:
+                t, p = idx.dynamic_round(segs[i], q, halves[i])
+            else:
+                idx.insert_codes_stream(segs[i])
+                t, p = idx.query_codes_stream(q)
+                idx.remove_codes_stream(halves[i])
+            pos.append((t, p))
+        return pos, idx.count(), np.asarray(idx.wordset.words_array())
+
+    pos_u, n_u, words_u = run(False)
+    pos_f, n_f, words_f = run(True)
+    assert pos_f == pos_u
+    assert n_f == n_u
+    np.testing.assert_array_equal(words_f, words_u)
+    # round 0 self-queries right after its own insert: all positive
+    assert pos_f[0][1] == pos_f[0][0]
+    # later rounds see removes: strictly fewer positives
+    assert pos_f[1][1] < pos_f[1][0]
+
+
+def test_dynamic_round_overflow_falls_back():
+    """Rounds that cannot fit the pending log (or multi-slab streams) take
+    the unfused path and stay exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(10)
+    codes = rng.integers(0, 4, size=30_000, dtype=np.uint8)
+    off = np.array([0, len(codes)], dtype=np.int64)
+    small = CBL(k=25, pending_cap=4096)  # forces the fallback
+    t, p = small.dynamic_round((codes, off), (codes, off), (codes, off))
+    assert t == len(codes) - 24
+    assert p == t  # queried after insert
+    assert small.count() == 0  # everything removed
