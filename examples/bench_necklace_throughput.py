@@ -31,13 +31,16 @@ def main():
 
     arr &= width_mask(cfg.kmer_bits, L)
 
+    def sync(out):
+        # scalar sync: block_until_ready does NOT reliably block on the
+        # axon backend for large outputs (BASELINE.md timing protocol)
+        return int(jax.device_get(out[0].reshape(-1)[0]))
+
     fn = jax.jit(lambda x: necklace.necklace_pos(x, cfg))
     dev = jax.device_put(arr)
-    out = fn(dev)  # compile + warmup
-    jax.block_until_ready(out)
+    sync(fn(dev))  # compile + warmup
     t0 = time.time()
-    out = fn(dev)
-    jax.block_until_ready(out)
+    sync(fn(dev))
     dt = time.time() - t0
     print(f"{n} necklaces (K={k}, {cfg.kmer_bits} bits) in {dt:.4f}s "
           f"= {dt / n * 1e9:.3f} ns/necklace = {n / dt / 1e6:.1f}M/s")
