@@ -283,8 +283,10 @@ def _pad_cols(cols, n_to: int):
 
 
 def _merge_tile_log() -> int:
+    """Default 15: largest measured tile wins on v5e (session15 merge
+    2^25+2^25 L=2: 54/56/65ms for t=15/14/13)."""
     env = os.environ.get("CBL_TPU_MERGE_TLOG")
-    return int(env) if env else 13
+    return int(env) if env else 15
 
 
 def _use_matmul_roll() -> bool:

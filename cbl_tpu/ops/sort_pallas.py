@@ -352,11 +352,13 @@ def _merge_mode() -> str:
     """Merge-kernel selector: 'xla' = lax.sort(concat); 'pallas' = bitonic
     merge on TPU for large n; 'mergepath' = co-rank single-pass merge
     (ops/merge_pallas.py) on TPU for large n; '-force' variants always
-    engage (interpret mode on CPU — tests/probes).  Default stays 'xla'
-    until a mode is measured faster on the real chip with scalar-sync
-    timing (round-2 lesson: the bitonic network looked right and measured
-    SLOWER)."""
-    mode = os.environ.get("CBL_TPU_MERGE_KERNEL", "xla")
+    engage (interpret mode on CPU — tests/probes).
+
+    Default 'mergepath': measured on v5e with scalar-sync timing
+    (session15): one co-rank merge pass of 2^25+2^25 L=2 runs 54ms vs
+    298ms for lax.sort(concat) (5.5x) and 40ms vs 187ms at 2^25+2^19
+    (4.7x); the bitonic merge also wins (72ms) but loses to merge-path."""
+    mode = os.environ.get("CBL_TPU_MERGE_KERNEL", "mergepath")
     if mode not in _MERGE_MODES:
         raise ValueError(
             f"CBL_TPU_MERGE_KERNEL={mode!r}: expected one of {_MERGE_MODES}"
@@ -406,8 +408,13 @@ def _sort_mode() -> str:
     network (measured SLOWER than lax.sort on v5e: 186ms vs 145ms at 2^25
     L=2 — session13); 'mergepath' = tile-sort + log2(N/T) merge-path
     passes (ops/merge_pallas.py).  '-force' variants always engage
-    (interpret mode on CPU).  Default stays 'xla' until a mode is measured
-    faster on the real chip with scalar-sync timing."""
+    (interpret mode on CPU).
+
+    Default stays 'xla': BOTH Pallas sorts measured SLOWER than lax.sort
+    on v5e (session13: bitonic 186ms vs 145ms at 2^25 L=2; session15:
+    merge-path sort 178-440ms vs 145ms across t_log 12-15 — the in-VMEM
+    compare-exchange work dominates, not HBM passes).  Only the single
+    merge PASS of two sorted runs beats XLA (see _merge_mode)."""
     mode = os.environ.get("CBL_TPU_SORT", "xla")
     if mode not in _SORT_MODES:
         raise ValueError(
