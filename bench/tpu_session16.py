@@ -59,14 +59,15 @@ def correctness_l4():
         order = np.lexsort(tuple(cols[::-1]))
         return tuple(c[order] for c in cols)
 
-    for L in (4, 5):
+    ok = True
+    for L, t_log in ((4, 15), (5, 13), (5, 14)):
         ca = sorted_cols(1 << 17, 1 + L, L)
         cb = sorted_cols(1 << 15, 2 + L, L)
         try:
             got = merge_pallas.merge_sorted_cols(
                 tuple(jax.device_put(c) for c in ca),
                 tuple(jax.device_put(c) for c in cb),
-                t_log=15,
+                t_log=t_log,
             )
             want = jax.lax.sort(
                 tuple(np.concatenate([x, y]) for x, y in zip(ca, cb)),
@@ -74,12 +75,12 @@ def correctness_l4():
             )
             for g, w in zip(got, want):
                 np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
-            log(f"1 merge correctness L={L} t=15: OK")
+            log(f"1 merge correctness L={L} t={t_log}: OK")
         except Exception as e:
-            log(f"1 merge L={L} t=15 FAILED: {type(e).__name__}: "
+            ok = False
+            log(f"1 merge L={L} t={t_log} FAILED: {type(e).__name__}: "
                 f"{str(e)[:300]}")
-            return False
-    return True
+    return ok
 
 
 def e2e_static():
@@ -188,11 +189,11 @@ def main():
 
     t_start = time.time()
     log(f"=== session16 start; devices: {jax.devices()} ===")
-    if correctness_l4():
-        e2e_static()
-        e2e_dynamic()
-        e2e_genome()
-        e2e_largek()
+    correctness_l4()  # informational: wide-L compile coverage
+    e2e_static()
+    e2e_dynamic()
+    e2e_genome()
+    e2e_largek()
     log(f"=== session16 done in {(time.time()-t_start)/60:.1f} min ===")
 
 

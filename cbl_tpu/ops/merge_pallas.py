@@ -282,11 +282,15 @@ def _pad_cols(cols, n_to: int):
     )
 
 
-def _merge_tile_log() -> int:
+def _merge_tile_log(n_cols: int = 2) -> int:
     """Default 15: largest measured tile wins on v5e (session15 merge
-    2^25+2^25 L=2: 54/56/65ms for t=15/14/13)."""
+    2^25+2^25 L=2: 54/56/65ms for t=15/14/13; L=4 t=15 verified).
+    Wide tuples shrink the tile: 5+ columns at t=15 crashed the Mosaic
+    compiler (session16)."""
     env = os.environ.get("CBL_TPU_MERGE_TLOG")
-    return int(env) if env else 15
+    if env:
+        return int(env)
+    return 15 if n_cols <= 4 else 13
 
 
 def _use_matmul_roll() -> bool:
@@ -302,7 +306,7 @@ def merge_sorted_cols(cols_a, cols_b, t_log: int | None = None,
     cols_a = tuple(cols_a)
     cols_b = tuple(cols_b)
     if t_log is None:
-        t_log = _merge_tile_log()
+        t_log = _merge_tile_log(len(cols_a))
     T = 1 << t_log
     Na, Nb = cols_a[0].shape[0], cols_b[0].shape[0]
     Nap = max(-(-Na // T) * T, T)
@@ -361,7 +365,7 @@ def sort_cols_mergepath(cols, t_log: int | None = None,
     n_log = N.bit_length() - 1
     assert N == 1 << n_log and N % (8 * _LANES) == 0, N
     if t_log is None:
-        t_log = _merge_tile_log()
+        t_log = _merge_tile_log(len(cols))
     t_log = min(t_log, n_log)
     T = 1 << t_log
     dts = tuple(c.dtype for c in cols)

@@ -398,6 +398,46 @@ def merge_with_unsorted(sorted_cols, unsorted_cols):
     return out if isinstance(out, tuple) else (out,)
 
 
+def merge_sorted_pair(sorted_a, sorted_b):
+    """Merge two column tuples that are EACH already sorted ascending into
+    one fully sorted tuple; equals `lax.sort(concat, num_keys=all)`.
+    Dispatches on CBL_TPU_MERGE_KERNEL like `merge_with_unsorted` but
+    skips sorting either side — the set-algebra path where BOTH operands
+    are sorted indexes (one streamed pass instead of a full re-sort)."""
+    a = tuple(sorted_a)
+    b = tuple(sorted_b)
+    mode = _merge_mode()
+    n = a[0].shape[0] + b[0].shape[0]
+    on_tpu = jax.default_backend() not in ("cpu",)
+    engage = mode.endswith("-force") or (
+        mode != "xla" and n >= _MIN_PALLAS_MERGE_N and on_tpu
+    )
+    if engage:
+        interpret = jax.default_backend() in ("cpu",)
+        if mode.startswith("mergepath"):
+            from .merge_pallas import merge_sorted_cols
+
+            return merge_sorted_cols(a, b, interpret=interpret)
+        return merge_cols_pallas(a, b, interpret=interpret)
+    cat = tuple(jnp.concatenate([x, y]) for x, y in zip(a, b))
+    out = jax.lax.sort(cat, num_keys=len(cat))
+    return out if isinstance(out, tuple) else (out,)
+
+
+def use_merge_combine(n_total: int) -> bool:
+    """True when the one-pass merge path will actually engage for a
+    combine of n_total rows — callers use this to pick merge-friendly
+    state layouts (e.g. defer compaction) only when it pays."""
+    mode = _merge_mode()
+    if mode.endswith("-force"):
+        return True
+    return (
+        mode != "xla"
+        and n_total >= _MIN_PALLAS_MERGE_N
+        and jax.default_backend() not in ("cpu",)
+    )
+
+
 _MIN_PALLAS_N = 1 << 20
 _SORT_MODES = ("xla", "pallas", "pallas-force", "mergepath",
                "mergepath-force")
