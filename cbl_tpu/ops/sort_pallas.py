@@ -344,6 +344,20 @@ def merge_cols_pallas(cols_a, cols_b, t_log: int | None = None,
 
 
 _MIN_PALLAS_MERGE_N = 1 << 19
+
+
+def _merge_engages(mode: str, n: int, n_cols: int) -> bool:
+    """Whether the Pallas merge path runs for an n-row combine of n_cols
+    columns.  Wide tuples need much larger n to win: K=59 (4 key limbs)
+    at 2^23 total rows measured SLOWER under the merge pass (session16:
+    query 31.6M/s vs 54.4M/s monolithic), while 2-3 column merges win
+    from the dynamic-fold sizes up (sessions 15/16)."""
+    if mode.endswith("-force"):
+        return True
+    if mode == "xla" or jax.default_backend() in ("cpu",):
+        return False
+    floor = _MIN_PALLAS_MERGE_N if n_cols <= 3 else 1 << 25
+    return n >= floor
 _MERGE_MODES = ("xla", "pallas", "pallas-force", "mergepath",
                 "mergepath-force")
 
@@ -379,10 +393,7 @@ def merge_with_unsorted(sorted_cols, unsorted_cols):
     unsorted_cols = tuple(unsorted_cols)
     mode = _merge_mode()
     n = sorted_cols[0].shape[0] + unsorted_cols[0].shape[0]
-    on_tpu = jax.default_backend() not in ("cpu",)
-    engage = mode.endswith("-force") or (
-        mode != "xla" and n >= _MIN_PALLAS_MERGE_N and on_tpu
-    )
+    engage = _merge_engages(mode, n, len(sorted_cols))
     if engage:
         us = sort_cols_auto(unsorted_cols)
         interpret = jax.default_backend() in ("cpu",)
@@ -408,10 +419,7 @@ def merge_sorted_pair(sorted_a, sorted_b):
     b = tuple(sorted_b)
     mode = _merge_mode()
     n = a[0].shape[0] + b[0].shape[0]
-    on_tpu = jax.default_backend() not in ("cpu",)
-    engage = mode.endswith("-force") or (
-        mode != "xla" and n >= _MIN_PALLAS_MERGE_N and on_tpu
-    )
+    engage = _merge_engages(mode, n, len(a))
     if engage:
         interpret = jax.default_backend() in ("cpu",)
         if mode.startswith("mergepath"):
@@ -424,18 +432,12 @@ def merge_sorted_pair(sorted_a, sorted_b):
     return out if isinstance(out, tuple) else (out,)
 
 
-def use_merge_combine(n_total: int) -> bool:
+def use_merge_combine(n_total: int, n_cols: int = 2) -> bool:
     """True when the one-pass merge path will actually engage for a
-    combine of n_total rows — callers use this to pick merge-friendly
-    state layouts (e.g. defer compaction) only when it pays."""
-    mode = _merge_mode()
-    if mode.endswith("-force"):
-        return True
-    return (
-        mode != "xla"
-        and n_total >= _MIN_PALLAS_MERGE_N
-        and jax.default_backend() not in ("cpu",)
-    )
+    combine of n_total rows of n_cols columns — callers use this to pick
+    merge-friendly state layouts (e.g. defer compaction) only when it
+    pays."""
+    return _merge_engages(_merge_mode(), n_total, n_cols)
 
 
 _MIN_PALLAS_N = 1 << 20

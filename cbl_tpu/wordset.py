@@ -1162,7 +1162,7 @@ class DeviceWordSet:
         one-pass merge path engaged: set ops skip the full tagged re-sort
         and run ONE streamed merge + adjacency marks."""
         n_total = self._live().shape[0] + other._live().shape[0]
-        if not use_merge_combine(n_total):
+        if not use_merge_combine(n_total, self.L):
             return False
         self._compact()
         other._compact()
