@@ -19,7 +19,7 @@ shifts — thousands of k-mers per XLA op.
 
 from __future__ import annotations
 
-from functools import lru_cache
+
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ shard D-1, where the merge compaction drops them — no separate masking.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
