@@ -70,11 +70,19 @@ def run_tpu(codes: np.ndarray, chunk: int, pending_cap: int, repeats: int = 2):
 
         jax.block_until_ready([s[1] for s in ps.slabs])
         stage_s = time.time() - t_s
+        # Single-sync protocol: enqueue insert, count, query, then ONE
+        # scalar device_get — the only trustworthy barrier on this backend
+        # (BASELINE.md).  The phase split at t1 is dispatch-enqueue time
+        # only (device work overlaps the query enqueue); the metric uses
+        # the combined t2-t0 wall which ends at a real sync.
         t0 = time.time()
         idx.insert_codes_stream(ps)
-        n_distinct = idx.count()  # forces flush + sync
+        n_dev = idx.count_device()
         t1 = time.time()
-        total, positive = idx.query_codes_stream(ps)
+        total_dev, pos_dev = idx.query_codes_stream(ps, lazy=True)
+        n_distinct, total, positive = (
+            int(x) for x in jax.device_get((n_dev, total_dev, pos_dev))
+        )
         t2 = time.time()
         r = {
             "distinct": n_distinct,
@@ -84,8 +92,8 @@ def run_tpu(codes: np.ndarray, chunk: int, pending_cap: int, repeats: int = 2):
             "query_s": t2 - t1,
         }
         print(f"  repeat {r_i}: stage {stage_s:.3f}s "
-              f"insert {r['insert_s']:.3f}s "
-              f"query {r['query_s']:.3f}s", file=sys.stderr)
+              f"combined {t2 - t0:.3f}s (enqueue split "
+              f"{r['insert_s']:.3f}/{r['query_s']:.3f})", file=sys.stderr)
         if best is None or (r["insert_s"] + r["query_s"]) < (
             best["insert_s"] + best["query_s"]
         ):
@@ -178,11 +186,15 @@ def run_tpu_records(codes_i, off_i, codes_q, off_q, chunk: int,
             [s[1] for s in psi.slabs] + [s[1] for s in psq.slabs]
         )
         stage_s = time.time() - t_s
+        # single-sync protocol (see run_tpu)
         t0 = time.time()
         idx.insert_codes_stream(psi)
-        n_distinct = idx.count()  # forces flush + sync
+        n_dev = idx.count_device()
         t1 = time.time()
-        total, positive = idx.query_codes_stream(psq)
+        total_dev, pos_dev = idx.query_codes_stream(psq, lazy=True)
+        n_distinct, total, positive = (
+            int(x) for x in jax.device_get((n_dev, total_dev, pos_dev))
+        )
         t2 = time.time()
         r = {
             "distinct": n_distinct,
@@ -192,7 +204,8 @@ def run_tpu_records(codes_i, off_i, codes_q, off_q, chunk: int,
             "query_s": t2 - t1,
         }
         print(f"  genome repeat {r_i}: stage {stage_s:.3f}s "
-              f"insert {r['insert_s']:.3f}s query {r['query_s']:.3f}s "
+              f"combined {t2 - t0:.3f}s (enqueue split "
+              f"{r['insert_s']:.3f}/{r['query_s']:.3f}) "
               f"hit-rate {positive/max(total,1):.3f}", file=sys.stderr)
         if best is None or (r["insert_s"] + r["query_s"]) < (
             best["insert_s"] + best["query_s"]
@@ -281,8 +294,13 @@ def run_tpu_dynamic(codes: np.ndarray, repeats: int):
             )
             pos_dev = p if pos_dev is None else pos_dev + p
             ops += 2 * (sb - k + 1) + sb // 2 - k + 1
-        n = idx.count()
-        positive = int(pos_dev)
+        import jax
+
+        # single-sync: the distinct count (slog scan) and the positive
+        # total come back in ONE device_get
+        n, positive = (
+            int(x) for x in jax.device_get((idx.count_device(), pos_dev))
+        )
         total_s = time.time() - t0
         r = {"ops": ops, "distinct": n, "positive": positive,
              "total_s": total_s}

@@ -195,71 +195,55 @@ def _fused_contains_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
 
 
 @lru_cache(maxsize=None)
-def _fused_round_fn(cfg: CBLConfig, canonical: bool, nk_i: int, nk_q: int,
-                    nk_r: int, use_merge: bool):
-    """One interleaved dynamic round as a SINGLE device program:
-    pipeline all three streams, append the inserts to the pending log,
-    count-join the queries against data ⊕ log (inserts visible, removes
-    of this round not yet — the sequential op order of the reference's
-    per-op updates, `/root/reference/src/wordset/mod.rs:97-137`), then
-    append the removes to the log.
+def _fused_round_slog_fn(cfg: CBLConfig, canonical: bool, nk_i: int,
+                         nk_q: int, nk_r: int, a_len: int):
+    """One interleaved dynamic round as a SINGLE device program over the
+    SORTED-LOG representation (wordset.py slog kernels): pipeline all
+    three streams, tag them (seq<<2 | {1=ins, 2=qry, 3=rm}), sort ONLY
+    this round's batch, merge it into the already-sorted log with one
+    merge-path pass, and scan the result for the round's query hits.
 
-    Rationale: the interleaved workload is DISPATCH-bound on a
-    high-latency link (session14 profile: ~8 host dispatches/round at
-    10-30ms wire cost each vs ~20ms of compute); this fuses a round into
-    one dispatch.  Returns (pending', tags', total_q, positive)."""
-    from functools import partial as _partial
-
+    The tag sandwich makes the reference's sequential per-op semantics
+    (`/root/reference/src/wordset/mod.rs:97-137`) a property of the sort
+    order: a round's queries sort after its inserts but before its
+    removes, and `_slog_hits` only honours entries at-or-before each
+    query.  Per-round device cost is one O(batch log batch) sort + one
+    O(log) HBM pass — the index is never re-sorted and never folded
+    mid-workload (vs the previous design's full pending-capacity sort
+    plus a fold sort per round).  Returns (merged slog cols, total_q,
+    positive)."""
     from .wordset import _U32_MAX as _MAX
-    from .wordset import _log_join_count, sort_cols_auto
-    from .ops.sort_pallas import merge_with_unsorted
+    from .wordset import _slog_hits, sort_cols_auto
+    from .ops.sort_pallas import merge_sorted_pair
 
     L = cfg.word_limbs
 
-    @_partial(jax.jit, donate_argnums=(0, 1))
-    def run(pending, tags, off, data, stream_i, s_i, e_i, stream_q, s_q,
-            e_q, stream_r, s_r, e_r):
+    @jax.jit
+    def run(a_cols, seq, stream_i, s_i, e_i, stream_q, s_q, e_q,
+            stream_r, s_r, e_r):
         w_i, _ = _device_words(stream_i, s_i, e_i, nk_i, cfg, canonical)
         w_q, n_valid_q = _device_words(stream_q, s_q, e_q, nk_q, cfg,
                                        canonical)
         w_r, _ = _device_words(stream_r, s_r, e_r, nk_r, cfg, canonical)
-        pending = jax.lax.dynamic_update_slice(
-            pending, w_i, (off, jnp.int32(0))
+        base = seq.astype(jnp.uint32) << 2
+        rows_b = jnp.concatenate([w_i, w_q, w_r], axis=0)
+        tags_b = jnp.concatenate(
+            [
+                jnp.full((nk_i,), 1, jnp.uint32),
+                jnp.full((nk_q,), 2, jnp.uint32),
+                jnp.full((nk_r,), 3, jnp.uint32),
+            ]
+        ) | base
+        sent = rows_b[:, 0] == _MAX
+        for l in range(1, L):
+            sent = sent & (rows_b[:, l] == _MAX)
+        tags_b = jnp.where(sent, _MAX, tags_b)  # blanked rows stay inert
+        bs = sort_cols_auto(
+            tuple(rows_b[:, l] for l in range(L)) + (tags_b,)
         )
-        seq_i = jnp.arange(nk_i, dtype=jnp.uint32) + 1 + off.astype(jnp.uint32)
-        tags = jax.lax.dynamic_update_slice(
-            tags, (seq_i << 1) | jnp.uint32(1), (off,)
-        )
-        C = data.shape[0]
-        if use_merge:  # data sorted + contiguous: sort only log ⊕ queries
-            s = merge_with_unsorted(
-                tuple(data[:, l] for l in range(L))
-                + (jnp.ones((C,), jnp.uint32),),
-                tuple(jnp.concatenate([pending[:, l], w_q[:, l]])
-                      for l in range(L))
-                + (jnp.concatenate(
-                    [tags, jnp.full((nk_q,), _MAX, jnp.uint32)]
-                ),),
-            )
-        else:
-            rows = jnp.concatenate([data, pending, w_q], axis=0)
-            seqtag = jnp.concatenate(
-                [jnp.ones((C,), jnp.uint32), tags,
-                 jnp.full((nk_q,), _MAX, jnp.uint32)]
-            )
-            s = sort_cols_auto(
-                tuple(rows[:, l] for l in range(L)) + (seqtag,)
-            )
-        positive = _log_join_count(s, L)
-        off2 = off + nk_i
-        pending = jax.lax.dynamic_update_slice(
-            pending, w_r, (off2, jnp.int32(0))
-        )
-        seq_r = jnp.arange(nk_r, dtype=jnp.uint32) + 1 + off2.astype(
-            jnp.uint32
-        )
-        tags = jax.lax.dynamic_update_slice(tags, seq_r << 1, (off2,))
-        return pending, tags, n_valid_q, positive
+        merged = merge_sorted_pair(a_cols, bs) if a_len else bs
+        positive = _slog_hits(merged, L, base | jnp.uint32(2))
+        return merged, n_valid_q, positive
 
     return run
 
@@ -353,6 +337,11 @@ class CBL:
 
     def count(self) -> int:
         return self.wordset.count()
+
+    def count_device(self):
+        """`count` as an unsynced device scalar (see
+        `DeviceWordSet.count_device`)."""
+        return self.wordset.count_device()
 
     def is_empty(self) -> bool:
         return self.wordset.is_empty()
@@ -560,15 +549,17 @@ class CBL:
                 if ps._cache_on:
                     # cache a COPY: the wordset owns `data` and its merge
                     # kernels donate it; sorted rows are equally valid as
-                    # future query words (joins are order-free)
-                    ps._words[i] = (data + jnp.uint32(0), n_valid)
+                    # future query words (joins are order-free), and the
+                    # True flag lets a later self-query skip its sort
+                    # entirely (merge-join of two sorted runs)
+                    ps._words[i] = (data + jnp.uint32(0), n_valid, True)
                 ws.adopt_built(data, n_dev, n_here)
             else:
                 words, n_valid = _fused_words_fn(
                     self.cfg, self.canonical, nk_pad
                 )(stream, s_arr, e_arr)
                 if ps._cache_on:
-                    ps._words[i] = (words, n_valid)
+                    ps._words[i] = (words, n_valid, False)
                 if words.shape[0] + ws.n_pending <= ws.pending_cap:
                     # append to the pending log: interleaved insert/remove
                     # rounds then fold ONCE at the next query instead of
@@ -585,7 +576,7 @@ class CBL:
             if cached is None:
                 cached = _fused_words_fn(self.cfg, self.canonical, nk_pad)(
                     stream, s_arr, e_arr
-                )
+                ) + (False,)
                 if ps._cache_on:
                     ps._words[i] = cached
             batches.append(cached[0])
@@ -607,15 +598,16 @@ class CBL:
         ws = self.wordset
         ps = self._resolve_stream(codes, offsets)
         total_dev = positive_dev = None
-        if ws.n_pending > 0:
-            # unflushed pending LOG: join against data ⊕ log in one sort per
-            # slab (never forces a fold — the interleaved-workload contract)
+        if ws.n_pending > 0 or ws._slog is not None:
+            # unflushed pending LOG or active sorted-log: join against the
+            # live representation per slab via count_hits_device (never
+            # forces a fold — the interleaved-workload contract)
             for i, (nk_pad, stream, s_arr, e_arr, _) in enumerate(ps.slabs):
                 cached = ps._words.get(i)
                 if cached is None:
                     cached = _fused_words_fn(
                         self.cfg, self.canonical, nk_pad
-                    )(stream, s_arr, e_arr)
+                    )(stream, s_arr, e_arr) + (False,)
                     if ps._cache_on:
                         ps._words[i] = cached
                 t, p = cached[1], ws.count_hits_device(cached[0])
@@ -633,6 +625,7 @@ class CBL:
             _count_hits_kernel,
             _count_hits_kernel_packed,
             _count_hits_merge_kernel,
+            _count_hits_merge_sorted_kernel,
         )
 
         if not packed_ok:
@@ -644,7 +637,14 @@ class CBL:
         for i, (nk_pad, stream, s_arr, e_arr, _) in enumerate(ps.slabs):
             cached = ps._words.get(i)
             if cached is not None:
-                t, p = cached[1], join(data, cached[0])
+                if cached[2] and join is _count_hits_merge_kernel:
+                    # memo holds SORTED rows (build-slab cache): both sides
+                    # sorted -> one merge pass, no query sort at all
+                    t, p = cached[1], _count_hits_merge_sorted_kernel(
+                        data, cached[0]
+                    )
+                else:
+                    t, p = cached[1], join(data, cached[0])
             else:
                 t, p = _fused_query_fn(
                     self.cfg, self.canonical, nk_pad, ws._holes
@@ -661,11 +661,11 @@ class CBL:
     def dynamic_round(self, ins, qry, rm, lazy: bool = False):
         """One interleaved round — insert every k-mer of `ins`, count-query
         `qry` (sees the inserts, not yet the removes), remove every k-mer
-        of `rm` — fused into ONE device program where possible (single-slab
-        streams that fit the pending log; otherwise the separate calls).
-        Args are PackedStreams or (codes, offsets) tuples.  Returns
-        (total, positive) ints, or unsynced device scalars with lazy=True.
-        """
+        of `rm` — fused into ONE device program for single-slab streams
+        (the sorted-log representation, `_fused_round_slog_fn`); otherwise
+        the separate calls.  Args are PackedStreams or (codes, offsets)
+        tuples.  Returns (total, positive) ints, or unsynced device
+        scalars with lazy=True."""
         ps_i = self._resolve_round_stream(ins)
         ps_q = self._resolve_round_stream(qry)
         ps_r = self._resolve_round_stream(rm)
@@ -673,7 +673,6 @@ class CBL:
         fusable = (
             len(ps_i.slabs) == 1 and len(ps_q.slabs) == 1
             and len(ps_r.slabs) == 1
-            and ps_i.slabs[0][0] + ps_r.slabs[0][0] <= ws.pending_cap
         )
         if not fusable:
             self.insert_codes_stream(ps_i)
@@ -683,18 +682,37 @@ class CBL:
         nk_i, st_i, s_i, e_i, _ = ps_i.slabs[0]
         nk_q, st_q, s_q, e_q, _ = ps_q.slabs[0]
         nk_r, st_r, s_r, e_r, _ = ps_r.slabs[0]
-        if ws.n_pending + nk_i + nk_r > ws.pending_cap:
+        if ws.n_pending > 0:
             ws.flush()
-        use_merge = not ws._holes and ws._n_upper > 0
-        fn = _fused_round_fn(
-            self.cfg, self.canonical, nk_i, nk_q, nk_r, use_merge
+        if ws._slog is None:
+            if ws._holes:
+                ws._compact()
+            if ws._n_upper == 0:
+                a_cols = tuple(
+                    jnp.zeros((0,), jnp.uint32) for _ in range(ws.L + 1)
+                )
+            else:
+                from .wordset import _data_entry_tags
+
+                live = ws._live()
+                a_cols = tuple(live[:, l] for l in range(ws.L)) + (
+                    _data_entry_tags(live),
+                )
+        else:
+            a_cols = ws._slog
+        seq = ws._slog_seq + 1
+        ws._slog_seq = seq
+        fn = _fused_round_slog_fn(
+            self.cfg, self.canonical, nk_i, nk_q, nk_r, a_cols[0].shape[0]
         )
-        ws.pending, ws.pending_tags, total, positive = fn(
-            ws.pending, ws.pending_tags, jnp.int32(ws.n_pending),
-            ws._live(), st_i, s_i, e_i, st_q, s_q, e_q, st_r, s_r, e_r,
+        merged, total, positive = fn(
+            a_cols, np.uint32(seq), st_i, s_i, e_i, st_q, s_q, e_q,
+            st_r, s_r, e_r,
         )
-        ws.n_pending += nk_i + nk_r
-        ws._pending_rm = True
+        ws._slog = merged
+        ws._slog_count_dev = None
+        ws._n_upper = min(ws._n_upper + nk_i, merged[0].shape[0])
+        ws._invalidate_index()
         if lazy:
             return total, positive
         t, p = jax.device_get((total, positive))

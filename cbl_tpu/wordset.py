@@ -495,6 +495,24 @@ def _count_hits_merge_kernel(data, queries):
 
 
 @jax.jit
+def _count_hits_merge_sorted_kernel(data, sorted_queries):
+    """`_count_hits_merge_kernel` when the QUERY side is ALREADY sorted
+    (e.g. a PackedStream words-memo populated by a build slab caches the
+    fused build's sorted rows): no query sort at all — one merge-path
+    pass of the two sorted runs + the packed-join scan.  The packed tag
+    bit makes every key distinct (data copies sort after query copies of
+    the same word), so no tie convention is needed from the merge."""
+    L = data.shape[-1]
+    d = _shift_tag(data, 1)
+    q = _shift_tag(sorted_queries, 0)
+    s = merge_sorted_pair(
+        tuple(d[:, l] for l in range(L)),
+        tuple(q[:, l] for l in range(L)),
+    )
+    return _packed_join_count(s, L)
+
+
+@jax.jit
 def _contains_sortjoin_kernel(data, queries):
     """Ordered membership via sort-join.
 
@@ -804,6 +822,105 @@ def _pending_override_kernel(pending, tags, queries):
     return has_o[:Q].astype(bool), present_o[:Q].astype(bool)
 
 
+# --- sorted-log (slog) kernels: the interleaved-workload representation ---
+#
+# A slog is ONE (word, tag)-sorted column tuple (L word limbs + 1 tag
+# column) holding the WHOLE set state: every insert, remove, and query of
+# every dynamic round, plus the pre-existing index rows (tag 1).  Tags are
+# (round_seq << 2) | type with type 1=insert, 2=query, 3=remove, so within
+# each equal-word run rows sit in operation order and a round's queries
+# sort after its inserts but before its removes — the reference's
+# sequential per-op semantics (`/root/reference/src/wordset/mod.rs:97-137`)
+# fall out of the sort order by construction.  Sentinel/blanked rows carry
+# tag MAX.  Each dynamic round then costs ONE lax.sort of its own batch +
+# ONE merge-path pass into the slog + prefix scans — the index is never
+# re-sorted and never folded mid-workload (query rows stay behind as inert
+# ballast; type-2 rows are never entries).
+
+
+def _slog_scan(s, L: int):
+    """Shared prefix scans over (word, tag)-sorted slog columns.  Returns
+    (neq [n-1], sentinel [n], live_here [n]) where live_here[i] means: the
+    latest insert/remove ENTRY at-or-before i within i's word run is an
+    insert — i.e. the word is present for an observer sorted at position
+    i."""
+    n = s[0].shape[0]
+    neq = s[0][1:] != s[0][:-1]
+    sentinel = s[0] == _U32_MAX
+    for l in range(1, L):
+        neq = neq | (s[l][1:] != s[l][:-1])
+        sentinel = sentinel & (s[l] == _U32_MAX)
+    run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    my_start = jax.lax.cummax(jnp.where(run_start, idx, 0))
+    tag = s[L]
+    typ = tag & jnp.uint32(3)
+    is_entry = ((typ == 1) | (typ == 3)) & (tag != _U32_MAX) & ~sentinel
+    packed = jnp.where(
+        is_entry, (idx << 1) | (typ == 1).astype(jnp.int32), jnp.int32(-1)
+    )
+    last = jax.lax.cummax(packed)
+    live_here = (last >= 0) & ((last >> 1) >= my_start) & ((last & 1) == 1)
+    return neq, sentinel, live_here
+
+
+def _slog_hits(s, L: int, qtag):
+    """Positive count over merged slog columns: query rows (tag == qtag)
+    whose word is present at their sort position."""
+    _, sentinel, live_here = _slog_scan(s, L)
+    hit = (s[L] == qtag) & ~sentinel & live_here
+    return jnp.sum(hit.astype(jnp.int32))
+
+
+@jax.jit
+def _slog_count_kernel(cols):
+    """Distinct live words of a slog: word runs whose LAST entry is an
+    insert (evaluated at each run's final row)."""
+    L = len(cols) - 1
+    neq, sentinel, live_here = _slog_scan(cols, L)
+    run_end = jnp.concatenate([neq, jnp.ones((1,), dtype=bool)])
+    live = run_end & ~sentinel & live_here
+    return jnp.sum(live.astype(jnp.int32))
+
+
+@jax.jit
+def _slog_join_count(cols, queries):
+    """Membership count of `queries` (unsorted [Q, L] rows) against a slog
+    without folding it: sort the queries (tag MAX — sorts after every log
+    entry of its word), one merge pass, one scan."""
+    L = len(cols) - 1
+    Q = queries.shape[0]
+    s = merge_with_unsorted(
+        cols,
+        tuple(queries[:, l] for l in range(L))
+        + (jnp.full((Q,), _U32_MAX, jnp.uint32),),
+    )
+    return _slog_hits(s, L, jnp.uint32(_U32_MAX))
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def _slog_fold_kernel(cols, out_cap: int):
+    """Fold a slog to a clean sorted index: keep each live run's final row
+    (its word), mark everything else sentinel, one compaction sort."""
+    L = len(cols) - 1
+    neq, sentinel, live_here = _slog_scan(cols, L)
+    run_end = jnp.concatenate([neq, jnp.ones((1,), dtype=bool)])
+    keep = run_end & ~sentinel & live_here
+    rows = jnp.stack(cols[:L], axis=1)
+    masked = jnp.where(keep[:, None], rows, _U32_MAX)
+    return _compact_sort_kernel(masked, out_cap)
+
+
+@jax.jit
+def _data_entry_tags(rows):
+    """Tag column turning a sorted index array into slog A-side input:
+    valid rows are implicit seq-0 inserts (tag 1), sentinel rows tag MAX."""
+    sent = rows[:, 0] == _U32_MAX
+    for l in range(1, rows.shape[-1]):
+        sent = sent & (rows[:, l] == _U32_MAX)
+    return jnp.where(sent, _U32_MAX, jnp.uint32(1))
+
+
 class DeviceWordSet:
     """A dynamic set of N_BITS-wide words as a sorted device array.
 
@@ -848,6 +965,12 @@ class DeviceWordSet:
         self.table_bits = min(DEFAULT_TABLE_BITS, cfg.n_bits)
         self._offsets = None
         self._window = 8
+        # sorted-log state (interleaved dynamic rounds; see module kernels):
+        # when active, `_slog` REPLACES `data` as the set representation
+        # (data was merged into it on entry) until `_fold_slog` runs.
+        self._slog: tuple | None = None
+        self._slog_seq = 0
+        self._slog_count_dev = None
 
     @property
     def n(self) -> int:
@@ -902,7 +1025,7 @@ class DeviceWordSet:
         """Take ownership of a fused-build result: `data` sorted ascending,
         valid rows first (duplicates allowed), sentinel-padded to a
         power-of-two length; `n_dev` = device scalar of DISTINCT rows."""
-        assert self.n == 0 and self.n_pending == 0
+        assert self._slog is None and self.n == 0 and self.n_pending == 0
         self.data = data
         self.capacity = data.shape[0]
         self._holes = False
@@ -953,6 +1076,7 @@ class DeviceWordSet:
         Only the next-power-of-two prefix of the buffer is merged, so a
         lightly-filled buffer costs a small sort (shape variants stay
         log-bounded for the jit cache)."""
+        self._fold_slog()
         if self.n_pending == 0:
             return
         n_pend = self.n_pending
@@ -988,6 +1112,23 @@ class DeviceWordSet:
         self._dups = False
         self._set_count(n_dev)
         self._n_upper = min(self._n_upper + n_pend, out_cap)
+        self._invalidate_index()
+
+    def _fold_slog(self) -> None:
+        """Collapse an active sorted-log into a clean sorted `data` array
+        (one compaction sort).  No-op when no slog is active."""
+        if self._slog is None:
+            return
+        cols = self._slog
+        self._slog = None
+        self._slog_seq = 0
+        self._slog_count_dev = None
+        out_cap = max(_next_pow2(max(self._n_upper, 1)), MIN_CAP)
+        self.data, n_dev = _slog_fold_kernel(cols, out_cap)
+        self.capacity = out_cap
+        self._holes = False
+        self._dups = False
+        self._set_count(n_dev)
         self._invalidate_index()
 
     def _merge_into(self, rows, n_new_upper: int) -> None:
@@ -1052,6 +1193,11 @@ class DeviceWordSet:
         LOG joins in the same sort (data ⊕ log last-write-wins) — queries
         never force a fold; the log folds only on buffer overflow or
         count()."""
+        if self._slog is not None:
+            if self.n_pending > 0:
+                self._fold_slog()  # rare mixed-API interleaving
+            else:
+                return _slog_join_count(self._slog, words)
         if self.n_pending > 0:
             eff = min(_next_pow2(self.n_pending), self.pending_cap)
             live = self._live()
@@ -1094,6 +1240,8 @@ class DeviceWordSet:
         is OVERRIDDEN by the log's last op per word — point/interleaved
         queries never force a fold (reference dynamic-op cost contract,
         `/root/reference/src/wordset/mod.rs:87-137`)."""
+        if self._slog is not None:
+            self._fold_slog()
         override = None
         if self.n_pending > 0:
             eff = min(_next_pow2(self.n_pending), self.pending_cap)
@@ -1139,8 +1287,27 @@ class DeviceWordSet:
         self._invalidate_index()
 
     def count(self) -> int:
+        if self._slog is not None and self.n_pending == 0:
+            return int(self._slog_count())
         self.flush()
         return self.n
+
+    def _slog_count(self):
+        if self._slog_count_dev is None:
+            self._slog_count_dev = _slog_count_kernel(self._slog)
+        return self._slog_count_dev
+
+    def count_device(self):
+        """Exact distinct count as an UNSYNCED device scalar (int32 0-d).
+        Flushes the pending log (enqueues device work) but never blocks —
+        single-sync benchmarking protocol (BASELINE.md: only scalar syncs
+        are trustworthy barriers on this backend, so batching every
+        workload scalar into ONE device_get removes an ~28ms RPC per
+        dropped sync).  An active slog is counted by scan, not folded."""
+        if self._slog is not None and self.n_pending == 0:
+            return self._slog_count()
+        self.flush()
+        return jnp.int32(0) if self._n_dev is None else self._n_dev
 
     def is_empty(self) -> bool:
         return self.count() == 0

@@ -427,16 +427,75 @@ def test_dynamic_round_fused_matches_unfused():
     assert pos_f[1][1] < pos_f[1][0]
 
 
-def test_dynamic_round_overflow_falls_back():
-    """Rounds that cannot fit the pending log (or multi-slab streams) take
-    the unfused path and stay exact."""
+def test_dynamic_round_multislab_falls_back(monkeypatch):
+    """Multi-slab streams take the unfused path and stay exact."""
     import numpy as np
 
+    import cbl_tpu.cbl as cmod
+
+    monkeypatch.setattr(cmod, "_FUSED_SLAB", 8192)
     rng = np.random.default_rng(10)
     codes = rng.integers(0, 4, size=30_000, dtype=np.uint8)
     off = np.array([0, len(codes)], dtype=np.int64)
-    small = CBL(k=25, pending_cap=4096)  # forces the fallback
-    t, p = small.dynamic_round((codes, off), (codes, off), (codes, off))
+    idx = CBL(k=25)
+    ps = idx.pack_stream(codes, off)
+    assert len(ps.slabs) > 1  # really exercises the fallback
+    t, p = idx.dynamic_round(ps, ps, ps)
     assert t == len(codes) - 24
     assert p == t  # queried after insert
-    assert small.count() == 0  # everything removed
+    assert idx.count() == 0  # everything removed
+
+
+def test_dynamic_round_slog_mid_state_and_mixed_api():
+    """Sorted-log specifics: mid-workload count() (scan, no fold), rounds
+    entered on a PRE-POPULATED index (data side merged into the log), and
+    mixed API calls after rounds (fold path) — all against a python-set
+    oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    k = 25
+    bases = 30_000
+    codes = rng.integers(0, 4, size=bases, dtype=np.uint8)
+    sb = bases // 3
+    off1 = np.array([0, sb], dtype=np.int64)
+
+    idx = CBL(k=k)
+    # pre-populate via the static path -> slog entry sees non-empty data
+    idx.insert_codes_stream(codes[:sb], off1)
+    oracle = set(map(tuple, idx.wordset.words_array()))
+
+    def words_of(c):
+        i2 = CBL(k=k)
+        i2.insert_codes_stream(c, np.array([0, len(c)], dtype=np.int64))
+        return [tuple(w) for w in i2.wordset.words_array()]
+
+    for r in range(2):
+        lo = sb * (r + 1)
+        seg = codes[lo : lo + sb]
+        qry = codes[lo - sb // 2 : lo + sb // 2]
+        rm = codes[lo - sb // 4 : lo + sb // 4]
+        seg_w, qry_w, rm_w = words_of(seg), words_of(qry), words_of(rm)
+        oracle |= set(seg_w)
+        expect_pos = sum(1 for w in qry_w if w in oracle)
+        t, p = idx.dynamic_round(
+            (seg, np.array([0, len(seg)], dtype=np.int64)),
+            (qry, np.array([0, len(qry)], dtype=np.int64)),
+            (rm, np.array([0, len(rm)], dtype=np.int64)),
+        )
+        assert (t, p) == (len(qry_w), expect_pos)
+        oracle -= set(rm_w)
+        # mid-workload count scans the sorted log without folding it
+        assert idx.wordset._slog is not None
+        assert idx.count() == len(oracle)
+        assert idx.wordset._slog is not None
+    # mixed API: point-ish mutation after rounds appends to the pending
+    # log on top of the slog; queries and the final fold stay exact
+    import jax.numpy as jnp
+
+    extra = words_of(codes[:k + 40])
+    idx.wordset.insert_words(jnp.asarray(np.array(extra, dtype=np.uint32)))
+    oracle |= set(extra)
+    assert idx.count() == len(oracle)
+    got = set(map(tuple, idx.wordset.words_array()))
+    assert got == oracle

@@ -189,3 +189,38 @@ def test_cbl_end_to_end_forced_mergepath(monkeypatch):
         np.testing.assert_array_equal(idx.wordset.words_array(), want_words)
     finally:
         jax.clear_caches()  # drop interpret-mode traces for later tests
+
+
+def test_stream_query_sorted_memo_forced_mergepath(monkeypatch):
+    """The single-sync bench protocol under forced merge-path kernels
+    (interpret mode): build from a PackedStream, then (a) re-query the
+    SAME stream — exercising `_count_hits_merge_sorted_kernel` (both
+    sides sorted, no query sort) — and (b) a dynamic slog round; counts
+    must match the python-set oracle."""
+    from cbl_tpu import CBL
+
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    off = np.array([0, len(codes)], dtype=np.int64)
+
+    monkeypatch.setenv("CBL_TPU_MERGE_KERNEL", "mergepath-force")
+    jax.clear_caches()
+    try:
+        idx = CBL(k=25)
+        ps = idx.pack_stream(codes, off)
+        idx.insert_codes_stream(ps)
+        n_dev = idx.count_device()
+        total_dev, pos_dev = idx.query_codes_stream(ps, lazy=True)
+        n, t, p = (int(x) for x in jax.device_get((n_dev, total_dev,
+                                                   pos_dev)))
+        assert ps._words[0][2] is True  # memo really holds sorted rows
+        nk = len(codes) - 24
+        assert t == nk and p == nk
+        assert n == len({tuple(w) for w in idx.wordset.words_array()})
+
+        dyn = CBL(k=25)
+        t2, p2 = dyn.dynamic_round((codes, off), (codes, off), (codes, off))
+        assert (t2, p2) == (nk, nk)
+        assert dyn.count() == 0
+    finally:
+        jax.clear_caches()
