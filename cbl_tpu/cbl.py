@@ -145,6 +145,23 @@ def _fused_words_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
 
 
 @lru_cache(maxsize=None)
+def _fused_words_sorted_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
+    """(stream, starts, ends) -> (words [nk_pad, L] SORTED, n_valid): the
+    insert-path variant of `_fused_words_fn` — sorting inside the fused
+    program costs exactly what the downstream merge kernel would pay
+    anyway, and the sorted rows are reusable by later merge-joins (the
+    words-memo sorted flag)."""
+    from .wordset import sort_rows
+
+    def run(stream, starts, ends):
+        words, n_valid = _device_words(stream, starts, ends, nk_pad, cfg,
+                                       canonical)
+        return sort_rows(words), n_valid
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
 def _fused_query_fn(cfg: CBLConfig, canonical: bool, nk_pad: int,
                     holes: bool = False):
     """(stream, starts, ends, data) -> (total, positive) device scalars.
@@ -555,18 +572,20 @@ class CBL:
                     ps._words[i] = (data + jnp.uint32(0), n_valid, True)
                 ws.adopt_built(data, n_dev, n_here)
             else:
-                words, n_valid = _fused_words_fn(
+                words, n_valid = _fused_words_sorted_fn(
                     self.cfg, self.canonical, nk_pad
                 )(stream, s_arr, e_arr)
                 if ps._cache_on:
-                    ps._words[i] = (words, n_valid, False)
+                    ps._words[i] = (words, n_valid, True)
                 if words.shape[0] + ws.n_pending <= ws.pending_cap:
                     # append to the pending log: interleaved insert/remove
                     # rounds then fold ONCE at the next query instead of
                     # paying a separate merge sort per call
                     ws.insert_words(words)
                 else:
-                    ws._merge_into(words, n_new_upper=n_here)
+                    ws._merge_into(
+                        words, n_new_upper=n_here, batch_sorted=True
+                    )
 
     def remove_codes_stream(self, codes, offsets: np.ndarray | None = None) -> None:
         ps = self._resolve_stream(codes, offsets)

@@ -304,6 +304,20 @@ def _merge_keepdups_kernel(data, batch):
 
 
 @jax.jit
+def _merge_sortedbatch_kernel(data, batch):
+    """`_merge_keepdups_kernel` when the batch is ALREADY sorted (the
+    insert stream pipeline sorts inside its fused program so the rows are
+    reusable by later joins): one merge pass, no batch sort."""
+    L = data.shape[-1]
+    cols = merge_sorted_pair(
+        tuple(data[:, l] for l in range(L)),
+        tuple(batch[:, l] for l in range(L)),
+    )
+    s = jnp.stack(cols, axis=-1)
+    return s, _distinct_count(s)
+
+
+@jax.jit
 def _build_sorted_kernel(batch):
     """Sort a fresh batch and count distinct rows (empty-index insert)."""
     s = sort_rows(batch)
@@ -1131,7 +1145,8 @@ class DeviceWordSet:
         self._set_count(n_dev)
         self._invalidate_index()
 
-    def _merge_into(self, rows, n_new_upper: int) -> None:
+    def _merge_into(self, rows, n_new_upper: int,
+                    batch_sorted: bool = False) -> None:
         out_cap = max(_next_pow2(self._n_upper + n_new_upper), MIN_CAP)
         # an empty index contributes ZERO rows (not a 1-row slice): keeps the
         # concat size a power of two so downstream compaction can donate its
@@ -1143,7 +1158,10 @@ class DeviceWordSet:
         )
         if data.shape[0] == 0:
             # fresh index: one sort of the batch, duplicates kept
-            self.data, n_dev = _build_sorted_kernel(rows)
+            if batch_sorted:
+                self.data, n_dev = rows, _distinct_count(rows)
+            else:
+                self.data, n_dev = _build_sorted_kernel(rows)
             self.capacity = self.data.shape[0]
             self._dups = True
         elif self._holes:
@@ -1155,7 +1173,11 @@ class DeviceWordSet:
         elif data.shape[0] + rows.shape[0] <= 2 * out_cap:
             # sorted index: sort only the batch + bitonic merge; duplicate
             # rows are kept (the array stays monotone; see kernel docstring)
-            self.data, n_dev = _merge_keepdups_kernel(data, rows)
+            kern = (
+                _merge_sortedbatch_kernel if batch_sorted
+                else _merge_keepdups_kernel
+            )
+            self.data, n_dev = kern(data, rows)
             self.capacity = self.data.shape[0]
             self._dups = True
         else:
