@@ -80,6 +80,7 @@ def multihost_insert_stream(idx, codes: np.ndarray, offsets: np.ndarray,
             idx._put_rows(starts),
             idx._put_rows(ends),
         )
+    idx._check_dropped()
 
 
 def multihost_remove_stream(idx, codes: np.ndarray, offsets: np.ndarray,

@@ -275,7 +275,8 @@ def _route_sorted(s, boundaries, D: int, bucket_cap: int):
 
 @lru_cache(maxsize=None)
 def _bulk_insert_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
-                         nk_sub: int, C: int, C_new: int, bucket_cap: int):
+                         nk_sub: int, C: int, C_new: int, bucket_cap: int,
+                         empty: bool = False):
     """Fused DP front-end + EP routing + per-shard merge in ONE program:
     every device runs the whole k-mer pipeline on ITS slice of the base
     stream (`_device_words`), routes words to owner shards with a single
@@ -310,12 +311,26 @@ def _bulk_insert_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         # shard slice stays sorted WITH duplicate rows — one merge instead
         # of the former sort + dedup-compaction re-sort; the distinct count
         # is an adjacency pass and dups compact lazily (host `_dedup_now`)
-        d0 = data[0]
-        cols = merge_with_unsorted(
-            tuple(d0[:, l] for l in range(L)),
-            tuple(batch[:, l] for l in range(L)),
-        )
-        s = jnp.stack(cols, axis=-1)[:C_new]
+        if empty:
+            # first group of a fresh index: the shard slice is all
+            # sentinels — adopt the sorted bucket directly, no merge pass
+            # over C sentinel rows
+            cols = sort_cols_auto(tuple(batch[:, l] for l in range(L)))
+            s = jnp.stack(cols, axis=-1)
+            if s.shape[0] < C_new:
+                s = jnp.concatenate(
+                    [s, jnp.full((C_new - s.shape[0], L), _U32_MAX,
+                                 dtype=jnp.uint32)], axis=0
+                )
+            else:
+                s = s[:C_new]
+        else:
+            d0 = data[0]
+            cols = merge_with_unsorted(
+                tuple(d0[:, l] for l in range(L)),
+                tuple(batch[:, l] for l in range(L)),
+            )
+            s = jnp.stack(cols, axis=-1)[:C_new]
         prev_eq = jnp.concatenate(
             [jnp.zeros((1,), dtype=bool), limbs.eq(s[1:], s[:-1])]
         )
@@ -731,6 +746,7 @@ class ShardedCBL:
         ]
         self.boundaries = limbs.from_py_ints(default, self.L)
         self._boundaries_from_data = False
+        self._dropped_dev = None  # deferred bucket-overflow counter
 
     def _maybe_init_boundaries(self, words: np.ndarray) -> None:
         """Derive balanced quantile boundaries from the first word batch."""
@@ -798,6 +814,7 @@ class ShardedCBL:
         pending).  Only tightens the used-rows bound when the slices are
         known duplicate-free."""
         if self._counts_host is None:
+            self._check_dropped()  # surface any deferred overflow first
             cd = self._counts_dev
             if self._multiproc:
                 cd = _gather_counts_fn(self.mesh)(cd)  # replicated [D]
@@ -1111,7 +1128,12 @@ class ShardedCBL:
         self._maybe_init_boundaries(np.asarray(words))
 
     def _insert_group(self, nk_sub: int, stream_g, starts_g, ends_g) -> None:
-        """One bulk insert step on already-sharded device inputs."""
+        """One bulk insert step on already-sharded device inputs.
+
+        Stays fully async: the bucket-overflow counter accumulates on
+        device and is checked ONCE per stream (`_check_dropped`) instead
+        of forcing a blocking device round-trip per group — the per-group
+        sync serialized the whole stream on the high-latency link."""
         bucket_cap = max(4096, _next_pow2((2 * nk_sub) // self.D))
         incoming = min(self.D * nk_sub, self.D * bucket_cap)
         # stay async: only sync exact counts when the pessimistic upper
@@ -1120,15 +1142,29 @@ class ShardedCBL:
             self._ensure_capacity(incoming)
         fn = _bulk_insert_step_fn(
             self.cfg, self.canonical, self.mesh, nk_sub, self.C, self.C,
-            bucket_cap,
+            bucket_cap, empty=self._count_upper == 0,
         )
         self.data, counts, dropped = fn(
             self.data, stream_g, starts_g, ends_g, jnp.asarray(self.boundaries)
         )
         self._dups = True  # keep-dups fold; compacts lazily
         self._set_counts_dev(counts, self._count_upper + incoming)
-        if int(np.asarray(dropped.addressable_shards[0].data)[0] if
-               self._multiproc else np.asarray(dropped)[0]) != 0:
+        if self.D > 1:
+            self._dropped_dev = (
+                dropped if self._dropped_dev is None
+                else self._dropped_dev + dropped
+            )
+
+    def _check_dropped(self) -> None:
+        """Verify no routed word overflowed its bucket (one deferred sync
+        per insert stream; ~0 drops with quantile boundaries)."""
+        if self._dropped_dev is None:
+            return
+        d = self._dropped_dev
+        self._dropped_dev = None
+        n = int(np.asarray(d.addressable_shards[0].data)[0]
+                if self._multiproc else np.asarray(d)[0])
+        if n != 0:
             raise RuntimeError(
                 "sharded insert bucket overflow: range partition too "
                 "skewed; rebuild with boundaries from representative data"
@@ -1148,6 +1184,7 @@ class ShardedCBL:
                 self._put_rows(starts),
                 self._put_rows(ends),
             )
+        self._check_dropped()
 
     def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         """Remove every k-mer of the record stream — bulk path: one fused
