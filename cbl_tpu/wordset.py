@@ -853,11 +853,17 @@ def _pending_override_kernel(pending, tags, queries):
 
 
 def _slog_scan(s, L: int):
-    """Shared prefix scans over (word, tag)-sorted slog columns.  Returns
+    """Shared prefix scan over (word, tag)-sorted slog columns.  Returns
     (neq [n-1], sentinel [n], live_here [n]) where live_here[i] means: the
     latest insert/remove ENTRY at-or-before i within i's word run is an
     insert — i.e. the word is present for an observer sorted at position
-    i."""
+    i.
+
+    ONE cummax does both jobs: every run start or entry row carries a
+    marker (idx << 2) | (entry ? 2 | insert_bit : 0); the running max is
+    whichever of {latest run start, latest entry} is later, so bit 1
+    says "an entry exists in my current run" and bit 0 its kind —
+    a run-start row that is itself an entry just carries the entry bits."""
     n = s[0].shape[0]
     neq = s[0][1:] != s[0][:-1]
     sentinel = s[0] == _U32_MAX
@@ -866,15 +872,21 @@ def _slog_scan(s, L: int):
         sentinel = sentinel & (s[l] == _U32_MAX)
     run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
     idx = jnp.arange(n, dtype=jnp.int32)
-    my_start = jax.lax.cummax(jnp.where(run_start, idx, 0))
     tag = s[L]
     typ = tag & jnp.uint32(3)
     is_entry = ((typ == 1) | (typ == 3)) & (tag != _U32_MAX) & ~sentinel
-    packed = jnp.where(
-        is_entry, (idx << 1) | (typ == 1).astype(jnp.int32), jnp.int32(-1)
+    marker = jnp.where(
+        run_start | is_entry,
+        (idx << 2)
+        | jnp.where(
+            is_entry,
+            jnp.int32(2) | (typ == 1).astype(jnp.int32),
+            jnp.int32(0),
+        ),
+        jnp.int32(-1),
     )
-    last = jax.lax.cummax(packed)
-    live_here = (last >= 0) & ((last >> 1) >= my_start) & ((last & 1) == 1)
+    m = jax.lax.cummax(marker)
+    live_here = ((m & 2) != 0) & ((m & 1) != 0)
     return neq, sentinel, live_here
 
 
