@@ -499,3 +499,42 @@ def test_dynamic_round_slog_mid_state_and_mixed_api():
     assert idx.count() == len(oracle)
     got = set(map(tuple, idx.wordset.words_array()))
     assert got == oracle
+
+
+def test_dynamic_round_canonical_matches_unfused():
+    """Sorted-log rounds under CANONICAL mode (rev-comp pipeline inside
+    the fused program) must match the separate calls exactly, including a
+    query stream that is the reverse complement of an inserted segment."""
+    rng = np.random.default_rng(12)
+    bases = 24_000
+    codes = rng.integers(0, 4, size=bases, dtype=np.uint8)
+    sb = bases // 2
+    off1 = np.array([0, sb], dtype=np.int64)
+    rc = (codes[:sb] ^ 2)[::-1].copy()  # reverse complement of segment 0
+
+    def run(fused: bool):
+        idx = CBL.new_canonical(k=25)
+        rounds = [
+            (codes[:sb], rc, codes[:sb // 2]),
+            (codes[sb:], codes[:sb], rc[: sb // 2]),
+        ]
+        pos = []
+        for seg, qry, rm in rounds:
+            so = np.array([0, len(seg)], dtype=np.int64)
+            qo = np.array([0, len(qry)], dtype=np.int64)
+            ro = np.array([0, len(rm)], dtype=np.int64)
+            if fused:
+                t, p = idx.dynamic_round((seg, so), (qry, qo), (rm, ro))
+            else:
+                idx.insert_codes_stream(seg, so)
+                t, p = idx.query_codes_stream(qry, qo)
+                idx.remove_codes_stream(rm, ro)
+            pos.append((t, p))
+        return pos, idx.count(), np.asarray(idx.wordset.words_array())
+
+    pos_u, n_u, words_u = run(False)
+    pos_f, n_f, words_f = run(True)
+    assert pos_f == pos_u and n_f == n_u
+    np.testing.assert_array_equal(words_f, words_u)
+    # the RC query of round 0 hits everything round 0 just inserted
+    assert pos_f[0][1] == pos_f[0][0]
