@@ -538,3 +538,36 @@ def test_dynamic_round_canonical_matches_unfused():
     np.testing.assert_array_equal(words_f, words_u)
     # the RC query of round 0 hits everything round 0 just inserted
     assert pos_f[0][1] == pos_f[0][0]
+
+
+def test_dynamic_rounds_then_serde_and_algebra():
+    """After sorted-log rounds, checkpointing and set algebra must see the
+    folded state exactly (fold happens implicitly via flush)."""
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 4, size=20_000, dtype=np.uint8)
+    off = np.array([0, 10_000], dtype=np.int64)
+    idx = CBL(k=25)
+    idx.dynamic_round(
+        (codes[:10_000], off), (codes[:10_000], off), (codes[:5_000], off // 2)
+    )
+    idx.dynamic_round(
+        (codes[10_000:], off), (codes[:10_000], off), (codes[5_000:7_500],
+                                                       np.array([0, 2_500])),
+    )
+    n = idx.count()
+    assert idx.wordset._slog is not None  # count() did not fold
+    idx.save_to_file("/tmp/slog_roundtrip.cblx.npz")
+    back = CBL.load_from_file("/tmp/slog_roundtrip.cblx.npz")
+    assert back.count() == n == idx.count()
+    other = CBL(k=25)
+    other.insert_codes_stream(codes[:10_000], off)
+    u = idx | other
+    inter = idx & other
+    assert u.count() >= idx.count()
+    assert inter.count() <= other.count()
+    # oracle check via host sets
+    got_u = {tuple(w) for w in u.wordset.words_array()}
+    want_u = {tuple(w) for w in idx.wordset.words_array()} | {
+        tuple(w) for w in other.wordset.words_array()
+    }
+    assert got_u == want_u
