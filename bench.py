@@ -335,6 +335,8 @@ def mode_largek(args, codes):
     """BASELINE config 3: K=59 build + full enumeration (list)."""
     from cbl_tpu import CBL
 
+    import jax
+
     k = 59
     offsets = np.array([0, len(codes)], dtype=np.int64)
     nk = len(codes) - k + 1
@@ -343,7 +345,7 @@ def mode_largek(args, codes):
         idx = CBL(k=k, prefix_bits=28)
         t0 = time.time()
         idx.insert_codes_stream(codes, offsets)
-        n = idx.count()
+        n = int(jax.device_get(idx.count_device()))  # single scalar sync
         t1 = time.time()
         lst = idx.kmers_limbs()
         t2 = time.time()
