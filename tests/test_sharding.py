@@ -445,3 +445,18 @@ def test_sharded_contains_seqs_ordered(mesh):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
     assert got[0].all() and got[2].all()
     assert not got[1].any()
+
+
+def test_sharded_insert_overflow_detected_deferred(mesh):
+    """A pathologically skewed range partition must still be DETECTED even
+    though the bucket-overflow counter now accumulates on device and is
+    checked once per stream (not per group)."""
+    idx = ShardedCBL(k=25, mesh=mesh)
+    # route every word to shard 0 and forbid the data-driven re-partition
+    idx.boundaries = np.full_like(np.asarray(idx.boundaries), 0xFFFFFFFF)
+    idx._boundaries_from_data = True
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=300_000, dtype=np.uint8)
+    offsets = np.array([0, len(codes)], dtype=np.int64)
+    with pytest.raises(RuntimeError, match="bucket overflow"):
+        idx.insert_codes_stream(codes, offsets)
