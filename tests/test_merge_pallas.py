@@ -222,5 +222,11 @@ def test_stream_query_sorted_memo_forced_mergepath(monkeypatch):
         t2, p2 = dyn.dynamic_round((codes, off), (codes, off), (codes, off))
         assert (t2, p2) == (nk, nk)
         assert dyn.count() == 0
+        # a SECOND round exercises the slog merge_sorted_pair path (the
+        # first round has an empty log and skips the merge)
+        t3, p3 = dyn.dynamic_round((codes, off), (codes, off),
+                                   (codes[:2000], np.array([0, 2000])))
+        assert (t3, p3) == (nk, nk)
+        assert dyn.count() == nk - (2000 - 24)
     finally:
         jax.clear_caches()
