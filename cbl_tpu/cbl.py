@@ -213,27 +213,39 @@ def _fused_contains_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
 
 @lru_cache(maxsize=None)
 def _fused_round_slog_fn(cfg: CBLConfig, canonical: bool, nk_i: int,
-                         nk_q: int, nk_r: int, a_len: int):
+                         nk_q: int, nk_r: int, a_cap: int, out_cap: int):
     """One interleaved dynamic round as a SINGLE device program over the
     SORTED-LOG representation (wordset.py slog kernels): pipeline all
-    three streams, tag them (seq<<2 | {1=ins, 2=qry, 3=rm}), sort ONLY
-    this round's batch, merge it into the already-sorted log with one
-    merge-path pass, and scan the result for the round's query hits.
+    three streams, tag them (seq<<2 | {1=ins, 2=qry, 3=rm}), sort this
+    round's insert+remove batch, merge it into the already-sorted log
+    with one merge-path pass, then join the round's (sorted) queries
+    against the merged log with a second merge pass + scan.
 
     The tag sandwich makes the reference's sequential per-op semantics
     (`/root/reference/src/wordset/mod.rs:97-137`) a property of the sort
-    order: a round's queries sort after its inserts but before its
-    removes, and `_slog_hits` only honours entries at-or-before each
-    query.  Per-round device cost is one O(batch log batch) sort + one
-    O(log) HBM pass — the index is never re-sorted and never folded
-    mid-workload (vs the previous design's full pending-capacity sort
-    plus a fold sort per round).  Returns (merged slog cols, total_q,
-    positive)."""
+    order: a round's queries carry tag (seq<<2|2), which sorts after its
+    inserts (|1) but before its removes (|3), and `_slog_hits` only
+    honours entries at-or-before each query.  Query rows NEVER enter the
+    stored log (round 3 kept them as inert ballast that every later
+    merge and scan paid for); the log grows by nk_i+nk_r real rows per
+    round and lives in a geometric capacity family: the A side arrives
+    at capacity `a_cap` (trailing sentinel rows), the output is
+    truncated/padded to `out_cap`, so round programs are REUSED until
+    the capacity actually grows (bounded jit variants instead of one
+    compile per round).  The caller guarantees real rows <= out_cap, so
+    truncation only ever drops all-sentinel tail rows.  Returns
+    (merged slog cols [out_cap], total_q, positive)."""
     from .wordset import _U32_MAX as _MAX
     from .wordset import _slog_hits, sort_cols_auto
     from .ops.sort_pallas import merge_sorted_pair
 
     L = cfg.word_limbs
+
+    def tag_sentinels(rows, tags):
+        sent = rows[:, 0] == _MAX
+        for l in range(1, L):
+            sent = sent & (rows[:, l] == _MAX)
+        return jnp.where(sent, _MAX, tags)  # blanked rows stay inert
 
     @jax.jit
     def run(a_cols, seq, stream_i, s_i, e_i, stream_q, s_q, e_q,
@@ -243,23 +255,31 @@ def _fused_round_slog_fn(cfg: CBLConfig, canonical: bool, nk_i: int,
                                        canonical)
         w_r, _ = _device_words(stream_r, s_r, e_r, nk_r, cfg, canonical)
         base = seq.astype(jnp.uint32) << 2
-        rows_b = jnp.concatenate([w_i, w_q, w_r], axis=0)
-        tags_b = jnp.concatenate(
+        rows_u = jnp.concatenate([w_i, w_r], axis=0)
+        tags_u = jnp.concatenate(
             [
                 jnp.full((nk_i,), 1, jnp.uint32),
-                jnp.full((nk_q,), 2, jnp.uint32),
                 jnp.full((nk_r,), 3, jnp.uint32),
             ]
         ) | base
-        sent = rows_b[:, 0] == _MAX
-        for l in range(1, L):
-            sent = sent & (rows_b[:, l] == _MAX)
-        tags_b = jnp.where(sent, _MAX, tags_b)  # blanked rows stay inert
-        bs = sort_cols_auto(
-            tuple(rows_b[:, l] for l in range(L)) + (tags_b,)
+        tags_u = tag_sentinels(rows_u, tags_u)
+        us = sort_cols_auto(
+            tuple(rows_u[:, l] for l in range(L)) + (tags_u,)
         )
-        merged = merge_sorted_pair(a_cols, bs) if a_len else bs
-        positive = _slog_hits(merged, L, base | jnp.uint32(2))
+        merged = merge_sorted_pair(a_cols, us) if a_cap else us
+        total = a_cap + nk_i + nk_r
+        if total > out_cap:
+            merged = tuple(c[:out_cap] for c in merged)
+        elif total < out_cap:
+            pad = jnp.full((out_cap - total,), _MAX, jnp.uint32)
+            merged = tuple(jnp.concatenate([c, pad]) for c in merged)
+        qtag = base | jnp.uint32(2)
+        tags_q = tag_sentinels(w_q, jnp.full((nk_q,), 2, jnp.uint32) | base)
+        qs = sort_cols_auto(
+            tuple(w_q[:, l] for l in range(L)) + (tags_q,)
+        )
+        j = merge_sorted_pair(merged, qs)
+        positive = _slog_hits(j, L, qtag)
         return merged, n_valid_q, positive
 
     return run
@@ -703,6 +723,7 @@ class CBL:
         nk_r, st_r, s_r, e_r, _ = ps_r.slabs[0]
         if ws.n_pending > 0:
             ws.flush()
+        ws.maybe_autofold_slog()
         if ws._slog is None:
             if ws._holes:
                 ws._compact()
@@ -710,6 +731,7 @@ class CBL:
                 a_cols = tuple(
                     jnp.zeros((0,), jnp.uint32) for _ in range(ws.L + 1)
                 )
+                a_real = 0
             else:
                 from .wordset import _data_entry_tags
 
@@ -717,20 +739,33 @@ class CBL:
                 a_cols = tuple(live[:, l] for l in range(ws.L)) + (
                     _data_entry_tags(live),
                 )
+                a_real = min(ws._n_upper, live.shape[0])
         else:
             a_cols = ws._slog
+            a_real = ws._slog_real
+        from .wordset import MIN_CAP, _next_pow2
+
+        a_cap = a_cols[0].shape[0]
+        new_real = a_real + nk_i + nk_r
+        out_cap = (
+            a_cap if new_real <= a_cap
+            else max(_next_pow2(new_real), MIN_CAP)
+        )
         seq = ws._slog_seq + 1
-        ws._slog_seq = seq
         fn = _fused_round_slog_fn(
-            self.cfg, self.canonical, nk_i, nk_q, nk_r, a_cols[0].shape[0]
+            self.cfg, self.canonical, nk_i, nk_q, nk_r, a_cap, out_cap
         )
         merged, total, positive = fn(
             a_cols, np.uint32(seq), st_i, s_i, e_i, st_q, s_q, e_q,
             st_r, s_r, e_r,
         )
+        # commit state only after the round program was built and enqueued
+        # (a compile/launch failure must not advance the log sequence)
         ws._slog = merged
+        ws._slog_seq = seq
+        ws._slog_real = new_real
         ws._slog_count_dev = None
-        ws._n_upper = min(ws._n_upper + nk_i, merged[0].shape[0])
+        ws._n_upper = min(ws._n_upper + nk_i, out_cap)
         ws._invalidate_index()
         if lazy:
             return total, positive

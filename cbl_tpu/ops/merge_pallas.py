@@ -157,20 +157,42 @@ def _reverse_flat(x, li):
     return x
 
 
+def _window_raw(scr_ref, start_flat, H: int, use_matmul: bool):
+    """Flat elements [start_flat, start_flat + T) of the (2H+8, 128)
+    scratch ref as an (H, 128) array (row-major flat order).  ONE dynamic
+    lane roll of the loaded H+8 rows serves both the aligned rows and
+    their +1-row successors (the roll is row-independent)."""
+    q = start_flat >> _LANES_LOG
+    s = start_flat & (_LANES - 1)
+    rows = scr_ref[pl.ds(q, H + 8)]
+    z = _dyn_lane_roll_left(rows, s, use_matmul)
+    c = jax.lax.broadcasted_iota(jnp.int32, (H, _LANES), 1)
+    return jnp.where(c < _LANES - s, z[0:H], z[1 : H + 1])
+
+
 def _window(scr_ref, start_flat, length, H: int, dt, use_matmul: bool):
     """Extract the sorted window [start_flat, start_flat + T) from the
     (2H+8, 128) scratch ref and mask elements >= length to the dtype max.
     Returns an (H, 128) array whose flat order is [segment, max-pad...]."""
-    q = start_flat >> _LANES_LOG
-    s = start_flat & (_LANES - 1)
-    rows = scr_ref[pl.ds(q, H + 8)]
-    A = _dyn_lane_roll_left(rows[0:H], s, use_matmul)
-    B = _dyn_lane_roll_left(rows[1 : H + 1], s, use_matmul)
-    c = jax.lax.broadcasted_iota(jnp.int32, (H, _LANES), 1)
-    w = jnp.where(c < _LANES - s, A, B)
+    w = _window_raw(scr_ref, start_flat, H, use_matmul)
     li = _local_iota(H)
     mx = jnp.full((), _dtype_max(dt), dt)
     return jnp.where(li < length, w.astype(dt), mx)
+
+
+def _window_desc(scr_ref, start_flat, length, H: int, dt, use_matmul: bool):
+    """B-side window extraction from the FLIPPED-in-HBM copy of B (R =
+    [max-pad^T | B reversed]): the flat elements [start_flat,
+    start_flat + T) of R are the segment's values in DESCENDING order
+    already sitting at the frame's tail, so masking the leading T-length
+    elements to the dtype max yields [max-pad..., segment desc] — exactly
+    the bitonic frame's second half, with ZERO in-kernel reversal work
+    (the 15-stage `_reverse_flat` roll cascade this replaces was ~45% of
+    the merge pass's VPU cost)."""
+    w = _window_raw(scr_ref, start_flat, H, use_matmul)
+    li = _local_iota(H)
+    mx = jnp.full((), _dtype_max(dt), dt)
+    return jnp.where(li >= H * _LANES - length, w.astype(dt), mx)
 
 
 # --------------------------------------------------------------------------
@@ -180,13 +202,18 @@ def _window(scr_ref, start_flat, length, H: int, dt, use_matmul: bool):
 
 @lru_cache(maxsize=None)
 def _merge_call(dts, t_log: int, nblk_a: int, nblk_b: int, interpret: bool,
-                use_matmul: bool):
+                use_matmul: bool, flipb: bool = False):
     """One merge pass: grid g over output tiles of T = 1 << t_log elements.
 
     prm: int32 [6, G]: blkA, laA (flat offset of the A-segment inside the
     2-block window), lenA, blkB, laB, lenB.  Window blocks arrive via
     BlockSpec index maps reading prm (pipelined/double-buffered by
-    Pallas); the trailing 8 rows of a third block cover sublane spill."""
+    Pallas); the trailing 8 rows of a third block cover sublane spill.
+
+    flipb: the B operand is the flipped-in-HBM copy R = [max^T | B
+    reversed] and prm's blkB/laB address R; the kernel then builds the
+    bitonic frame's descending half by a plain forward window read
+    (`_window_desc`) instead of the in-VMEM `_reverse_flat` cascade."""
     L = len(dts)
     H = (1 << t_log) // _LANES
     H8 = H // 8
@@ -209,9 +236,13 @@ def _merge_call(dts, t_log: int, nblk_a: int, nblk_b: int, interpret: bool,
             scr_b[l][H : 2 * H] = b_refs[L + l][...]
             scr_b[l][2 * H : 2 * H + 8] = b_refs[2 * L + l][...]
             wa = _window(scr_a[l], laA, lenA, H, dts[l], use_matmul)
-            wb = _window(scr_b[l], laB, lenB, H, dts[l], use_matmul)
             # [A ascending | B descending] = one bitonic frame of 2T
-            wb_rev = _reverse_flat(wb, _local_iota(H))
+            if flipb:
+                wb_rev = _window_desc(scr_b[l], laB, lenB, H, dts[l],
+                                      use_matmul)
+            else:
+                wb = _window(scr_b[l], laB, lenB, H, dts[l], use_matmul)
+                wb_rev = _reverse_flat(wb, _local_iota(H))
             cols.append(jnp.concatenate([wa, wb_rev], axis=0))
         li = _local_iota(2 * H)
         for j_log in range(t_log, -1, -1):
@@ -297,6 +328,28 @@ def _use_matmul_roll() -> bool:
     return os.environ.get("CBL_TPU_DYNROLL", "roll") == "matmul"
 
 
+def _use_flipb() -> bool:
+    """Default: build the bitonic frame's descending half from a
+    flipped-in-HBM copy of B (one streaming XLA pass over the B side,
+    usually the small operand) instead of the 15-stage in-VMEM
+    `_reverse_flat` roll cascade.  CBL_TPU_MERGE_REV=inkernel restores
+    the round-3 kernel for A/B comparison."""
+    return os.environ.get("CBL_TPU_MERGE_REV", "flip") != "inkernel"
+
+
+def _flip_pad_cols(cols, T: int):
+    """R = [dtype-max^T | cols reversed]: R[T + j] = cols[N-1-j].  The
+    descending window of segment [b0, b0+len) then sits at flat offset
+    N - b0 (leading pad keeps every offset non-negative and adds exactly
+    one T-element block)."""
+    return tuple(
+        jnp.concatenate(
+            [jnp.full((T,), _dtype_max(c.dtype), dtype=c.dtype), c[::-1]]
+        )
+        for c in cols
+    )
+
+
 def merge_sorted_cols(cols_a, cols_b, t_log: int | None = None,
                       interpret: bool = False):
     """Merge two column tuples that are EACH sorted ascending (all columns
@@ -317,12 +370,19 @@ def merge_sorted_cols(cols_a, cols_b, t_log: int | None = None,
     diags = jnp.arange(G + 1, dtype=jnp.int32) * T
     ai = _coranks(a, b, diags)
     bi = diags - ai
-    prm = _merge_params(ai, bi, t_log, G)
+    flipb = _use_flipb()
+    prm = _merge_params(ai, bi, t_log, G, Nbp if flipb else 0)
     dts = tuple(c.dtype for c in a)
-    run = _merge_call(dts, t_log, Nap // T, Nbp // T, interpret,
-                      _use_matmul_roll())
     a2d = tuple(c.reshape(Nap // _LANES, _LANES) for c in a)
-    b2d = tuple(c.reshape(Nbp // _LANES, _LANES) for c in b)
+    if flipb:
+        bR = _flip_pad_cols(b, T)
+        b2d = tuple(c.reshape((Nbp + T) // _LANES, _LANES) for c in bR)
+        nblk_b = Nbp // T + 1
+    else:
+        b2d = tuple(c.reshape(Nbp // _LANES, _LANES) for c in b)
+        nblk_b = Nbp // T
+    run = _merge_call(dts, t_log, Nap // T, nblk_b, interpret,
+                      _use_matmul_roll(), flipb)
     out2d = run(prm, a2d, b2d, G)
     out = tuple(c.reshape(G * T) for c in out2d)
     if G * T != Na + Nb:
@@ -330,12 +390,18 @@ def merge_sorted_cols(cols_a, cols_b, t_log: int | None = None,
     return out
 
 
-def _merge_params(ai, bi, t_log: int, G: int):
+def _merge_params(ai, bi, t_log: int, G: int, flip_n: int = 0):
     """[6, G] int32 kernel params from co-rank boundaries ai/bi [G+1]:
     per tile, each side's window starts at block floor(start / T) and the
-    segment sits at flat offset start - block*T within it."""
+    segment sits at flat offset start - block*T within it.  With
+    flip_n = Nbp (flipb mode) the B coordinates address the flipped copy
+    R: the descending window of segment [b0, b0+len) starts at flat
+    offset Nbp - b0 of R (see `_flip_pad_cols`)."""
     a0 = ai[:G]
     b0 = bi[:G]
+    lenB = bi[1:] - b0
+    if flip_n:
+        b0 = flip_n - b0
     blkA = a0 >> t_log
     blkB = b0 >> t_log
     return jnp.stack(
@@ -345,7 +411,7 @@ def _merge_params(ai, bi, t_log: int, G: int):
             ai[1:] - a0,
             blkB,
             b0 - (blkB << t_log),
-            bi[1:] - b0,
+            lenB,
         ]
     ).astype(jnp.int32)
 
@@ -374,6 +440,7 @@ def sort_cols_mergepath(cols, t_log: int | None = None,
     cols = tuple(c.reshape(N) for c in cols2d)
     G = N // T
     use_mm = _use_matmul_roll()
+    flipb = _use_flipb()
     for p in range(n_log - t_log):
         R = T << p  # current sorted-run length
         tiles_per_pair = (2 * R) // T
@@ -391,6 +458,8 @@ def sort_cols_mergepath(cols, t_log: int | None = None,
         )
         a0 = base + ai_loc
         b0 = base + R + (dloc - ai_loc)
+        if flipb:
+            b0 = N - b0  # address the flipped whole-array copy
         lenA = ai_end - ai_loc
         blkA = a0 >> t_log
         blkB = b0 >> t_log
@@ -404,9 +473,15 @@ def sort_cols_mergepath(cols, t_log: int | None = None,
                 T - lenA,
             ]
         ).astype(jnp.int32)
-        run = _merge_call(dts, t_log, G, G, interpret, use_mm)
         cols2d = tuple(c.reshape(N // _LANES, _LANES) for c in cols)
-        out2d = run(prm, cols2d, cols2d, G)
+        if flipb:
+            bR = _flip_pad_cols(cols, T)
+            b2d = tuple(c.reshape((N + T) // _LANES, _LANES) for c in bR)
+            run = _merge_call(dts, t_log, G, G + 1, interpret, use_mm, True)
+            out2d = run(prm, cols2d, b2d, G)
+        else:
+            run = _merge_call(dts, t_log, G, G, interpret, use_mm)
+            out2d = run(prm, cols2d, cols2d, G)
         cols = tuple(c.reshape(N) for c in out2d)
     return cols
 

@@ -839,17 +839,23 @@ def _pending_override_kernel(pending, tags, queries):
 # --- sorted-log (slog) kernels: the interleaved-workload representation ---
 #
 # A slog is ONE (word, tag)-sorted column tuple (L word limbs + 1 tag
-# column) holding the WHOLE set state: every insert, remove, and query of
-# every dynamic round, plus the pre-existing index rows (tag 1).  Tags are
+# column) holding the WHOLE set state: every insert and remove of every
+# dynamic round, plus the pre-existing index rows (tag 1).  Tags are
 # (round_seq << 2) | type with type 1=insert, 2=query, 3=remove, so within
 # each equal-word run rows sit in operation order and a round's queries
-# sort after its inserts but before its removes — the reference's
-# sequential per-op semantics (`/root/reference/src/wordset/mod.rs:97-137`)
-# fall out of the sort order by construction.  Sentinel/blanked rows carry
-# tag MAX.  Each dynamic round then costs ONE lax.sort of its own batch +
-# ONE merge-path pass into the slog + prefix scans — the index is never
-# re-sorted and never folded mid-workload (query rows stay behind as inert
-# ballast; type-2 rows are never entries).
+# carry a tag that sorts after its inserts but before its removes — the
+# reference's sequential per-op semantics
+# (`/root/reference/src/wordset/mod.rs:97-137`) fall out of the sort order
+# by construction.  Sentinel/blanked rows carry tag MAX.  Query rows are
+# only ever MERGED TRANSIENTLY for their round's hit scan (or a
+# mid-workload join) and never stored: the log holds zero ballast and
+# grows by the round's insert+remove rows only.  Each round costs one
+# lax.sort of its own batch + two merge-path passes + one prefix scan —
+# the index is never re-sorted and never folded mid-workload.  The stored
+# log lives at a geometric capacity (trailing sentinel rows) so round
+# programs recompile only when capacity grows, and an auto-fold bounds
+# its length at a small multiple of the live-set size (which also keeps
+# the scan's (idx << 2) int32 marker far from overflow).
 
 
 def _slog_scan(s, L: int):
@@ -997,6 +1003,10 @@ class DeviceWordSet:
         self._slog: tuple | None = None
         self._slog_seq = 0
         self._slog_count_dev = None
+        # upper bound on NON-sentinel rows in the slog (host-side, never
+        # synced): capacity/truncation choices and the auto-fold policy
+        # depend only on this bound
+        self._slog_real = 0
 
     @property
     def n(self) -> int:
@@ -1149,6 +1159,7 @@ class DeviceWordSet:
         self._slog = None
         self._slog_seq = 0
         self._slog_count_dev = None
+        self._slog_real = 0
         out_cap = max(_next_pow2(max(self._n_upper, 1)), MIN_CAP)
         self.data, n_dev = _slog_fold_kernel(cols, out_cap)
         self.capacity = out_cap
@@ -1156,6 +1167,30 @@ class DeviceWordSet:
         self._dups = False
         self._set_count(n_dev)
         self._invalidate_index()
+
+    # auto-fold policy: the slog may hold dead rows (overwritten inserts,
+    # removes, remove-of-absent) that every later merge and scan pays for.
+    # Fold when the log's real-row bound exceeds FOLD_MULT x the live-set
+    # pow2 bound (so fold cost amortises against the work it saves), or
+    # when the next rounds would push the scan marker (idx << 2, int32 —
+    # see _slog_scan) toward overflow.
+    _SLOG_FOLD_MULT = 4
+    _SLOG_HARD_CAP = 1 << 27
+
+    def maybe_autofold_slog(self) -> None:
+        if self._slog is None:
+            return
+        live_cap = max(_next_pow2(max(self._n_upper, 1)), MIN_CAP)
+        if (
+            self._slog_real > self._SLOG_FOLD_MULT * live_cap
+            or self._slog_real > self._SLOG_HARD_CAP
+        ):
+            self._fold_slog()
+            # one scalar sync tightens _n_upper to the exact live count
+            # (fold output is duplicate-free), making the bound above
+            # live-proportional instead of cumulative-insert-proportional;
+            # folds are rare so the sync amortises
+            _ = self.n
 
     def _merge_into(self, rows, n_new_upper: int,
                     batch_sorted: bool = False) -> None:

@@ -540,6 +540,82 @@ def test_dynamic_round_canonical_matches_unfused():
     assert pos_f[0][1] == pos_f[0][0]
 
 
+def test_dynamic_round_log_is_ballast_free_and_capacity_bucketed():
+    """Round 4 slog contract: query rows never enter the stored log (its
+    real-row bound grows by insert+remove rows only) and the stored
+    capacity comes from a geometric family, so repeated same-shape rounds
+    reuse one compiled program instead of compiling per round."""
+    from cbl_tpu.wordset import MIN_CAP, _next_pow2
+
+    rng = np.random.default_rng(21)
+    bases = 48_000
+    codes = rng.integers(0, 4, size=bases, dtype=np.uint8)
+    SEGS = 6
+    sb = bases // SEGS
+    off1 = np.array([0, sb], dtype=np.int64)
+    off_h = np.array([0, sb // 2], dtype=np.int64)
+    idx = CBL(k=25)
+    ws = idx.wordset
+    segs = [idx.pack_stream(codes[i * sb:(i + 1) * sb], off1)
+            for i in range(SEGS)]
+    halves = [idx.pack_stream(codes[i * sb:i * sb + sb // 2], off_h)
+              for i in range(SEGS)]
+    expect_real = 0
+    caps = []
+    for i in range(SEGS):
+        idx.dynamic_round(segs[i], segs[i - 1 if i else 0], halves[i])
+        nk_i = segs[i].slabs[0][0]
+        nk_r = halves[i].slabs[0][0]
+        expect_real += nk_i + nk_r
+        assert ws._slog_real == expect_real
+        cap = ws._slog[0].shape[0]
+        assert cap >= expect_real
+        assert cap == max(_next_pow2(expect_real), MIN_CAP) or cap in caps
+        caps.append(cap)
+    # capacities form a geometric family: few distinct values, reused
+    assert len(set(caps)) < SEGS
+    # the stored log really holds only ins+rm rows: fold and check count
+    n = idx.count()
+    ws.flush()
+    assert ws._slog is None and idx.count() == n
+
+
+def test_slog_autofold_bounds_memory():
+    """Remove-heavy interleaved workloads must not grow the log without
+    bound: maybe_autofold_slog folds once the real-row bound exceeds the
+    policy multiple of the live-set bound, and results stay exact."""
+    rng = np.random.default_rng(22)
+    k = 25
+    sb = 4_000
+    codes = rng.integers(0, 4, size=sb, dtype=np.uint8)
+    # large ABSENT remove stream: the log grows ~5x faster than the
+    # insert bound, so the fold policy must engage
+    miss = rng.integers(0, 4, size=4 * sb, dtype=np.uint8)
+    off = np.array([0, sb], dtype=np.int64)
+    off_m = np.array([0, 4 * sb], dtype=np.int64)
+    idx = CBL(k=k)
+    idx.dynamic_round((codes, off), (codes, off), (miss, off_m))
+    n0 = idx.count()
+    ws = idx.wordset
+    assert ws._slog is not None
+    folded = False
+    for _ in range(12):
+        seq_before = ws._slog_seq
+        idx.dynamic_round((codes, off), (codes, off), (miss, off_m))
+        if ws._slog_seq <= seq_before:
+            folded = True  # auto-fold reset the log mid-workload
+    assert folded, "auto-fold never triggered on a growing log"
+    from cbl_tpu.wordset import _next_pow2
+
+    per_round = sum(s[0] for s in (
+        idx.pack_stream(codes, off).slabs + idx.pack_stream(miss, off_m).slabs
+    ))
+    assert ws._slog_real <= ws._SLOG_FOLD_MULT * _next_pow2(
+        max(ws._n_upper, 1)
+    ) + per_round
+    assert idx.count() == n0  # workload is idempotent on the set
+
+
 def test_dynamic_rounds_then_serde_and_algebra():
     """After sorted-log rounds, checkpointing and set algebra must see the
     folded state exactly (fold happens implicitly via flush)."""
