@@ -310,6 +310,69 @@ def run_tpu_dynamic(codes: np.ndarray, repeats: int):
     return best
 
 
+def run_tpu_sharded_dynamic(codes: np.ndarray, repeats: int,
+                            n_devices: int = 1):
+    """The dynamic workload on ShardedCBL (sharded sorted-log rounds) —
+    same op stream as run_tpu_dynamic; VERDICT r3 target: within 2x of
+    the single-chip ops/s at D=1."""
+    import jax
+
+    from cbl_tpu.parallel import ShardedCBL, make_mesh
+
+    k = 25
+    sb = len(codes) // SEGS
+    mesh = make_mesh(jax.devices()[:n_devices])
+    off1 = np.array([0, sb], dtype=np.int64)
+    off_h = np.array([0, sb // 2], dtype=np.int64)
+    best = None
+    for r_i in range(repeats):
+        idx = ShardedCBL(k=k, mesh=mesh)
+        t0 = time.time()
+        ops = 0
+        pos_dev = None
+        for i in range(SEGS):
+            q0 = (i - 1 if i else 0) * sb
+            t, p = idx.dynamic_round(
+                (codes[i * sb:(i + 1) * sb], off1),
+                (codes[q0:q0 + sb], off1),
+                (codes[i * sb:i * sb + sb // 2], off_h),
+                lazy=True,
+            )
+            pos_dev = p if pos_dev is None else pos_dev + p
+            ops += 2 * (sb - k + 1) + sb // 2 - k + 1
+        live, pos = jax.device_get((idx._slog_live_dev, pos_dev))
+        n, positive = int(np.asarray(live)[0]), int(np.asarray(pos)[0])
+        total_s = time.time() - t0
+        r = {"ops": ops, "distinct": n, "positive": positive,
+             "total_s": total_s}
+        print(f"  sharded-dynamic repeat {r_i} (D={n_devices}): "
+              f"{total_s:.3f}s", file=sys.stderr)
+        if best is None or r["total_s"] < best["total_s"]:
+            best = r
+    return best
+
+
+def mode_sharded_dynamic(args, codes):
+    base = None if args.skip_baseline else run_baseline_dynamic(codes)
+    if base:
+        print(f"baseline dynamic: {base}", file=sys.stderr)
+    ours = run_tpu_sharded_dynamic(codes, args.repeats)
+    print(f"cbl_tpu sharded-dynamic: {ours}", file=sys.stderr)
+    if base is not None:
+        assert ours["distinct"] == base["distinct"], (ours, base)
+        assert ours["positive"] == base["positive"], (ours, base)
+        vs = (ours["ops"] / ours["total_s"]) / base["ops_per_s"]
+    else:
+        vs = None
+    print(json.dumps({
+        "metric": "SHARDED (D=1 mesh) interleaved insert/remove/query "
+        f"ops/s (K=25, {args.bases/1e6:.0f}Mbp, {SEGS} rounds)",
+        "value": round(ours["ops"] / ours["total_s"], 1),
+        "unit": "kmer-ops/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
 def mode_dynamic(args, codes):
     base = None if args.skip_baseline else run_baseline_dynamic(codes)
     if base:
@@ -415,7 +478,8 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument(
         "--mode", default="static",
-        choices=["static", "dynamic", "largek", "algebra", "genome"],
+        choices=["static", "dynamic", "largek", "algebra", "genome",
+                 "sharded-dynamic"],
         help="static = BASELINE config 1 (driver headline); dynamic/largek/"
         "algebra = configs 2-4 (recorded in BASELINE.md); genome = config 1 "
         "on repeat-rich multi-record data with ~50% query hit rate",
@@ -431,6 +495,8 @@ def main():
     codes = rng.integers(0, 4, size=args.bases, dtype=np.uint8)
     if args.mode == "dynamic":
         return mode_dynamic(args, codes)
+    if args.mode == "sharded-dynamic":
+        return mode_sharded_dynamic(args, codes)
     if args.mode == "largek":
         return mode_largek(args, codes)
     if args.mode == "algebra":

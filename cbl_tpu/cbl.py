@@ -234,9 +234,12 @@ def _fused_round_slog_fn(cfg: CBLConfig, canonical: bool, nk_i: int,
     the capacity actually grows (bounded jit variants instead of one
     compile per round).  The caller guarantees real rows <= out_cap, so
     truncation only ever drops all-sentinel tail rows.  Returns
-    (merged slog cols [out_cap], total_q, positive)."""
+    (merged slog cols [out_cap], total_q, positive, live): the Pallas
+    scan kernel produces the round's positive count AND the set's
+    distinct count from the same single pass (query rows are never
+    entries, so live(merged + queries) == live(merged))."""
     from .wordset import _U32_MAX as _MAX
-    from .wordset import _slog_hits, sort_cols_auto
+    from .wordset import slog_counts_auto, sort_cols_auto
     from .ops.sort_pallas import merge_sorted_pair
 
     L = cfg.word_limbs
@@ -279,8 +282,8 @@ def _fused_round_slog_fn(cfg: CBLConfig, canonical: bool, nk_i: int,
             tuple(w_q[:, l] for l in range(L)) + (tags_q,)
         )
         j = merge_sorted_pair(merged, qs)
-        positive = _slog_hits(j, L, qtag)
-        return merged, n_valid_q, positive
+        positive, live = slog_counts_auto(j, qtag)
+        return merged, n_valid_q, positive, live
 
     return run
 
@@ -755,7 +758,7 @@ class CBL:
         fn = _fused_round_slog_fn(
             self.cfg, self.canonical, nk_i, nk_q, nk_r, a_cap, out_cap
         )
-        merged, total, positive = fn(
+        merged, total, positive, live = fn(
             a_cols, np.uint32(seq), st_i, s_i, e_i, st_q, s_q, e_q,
             st_r, s_r, e_r,
         )
@@ -764,7 +767,7 @@ class CBL:
         ws._slog = merged
         ws._slog_seq = seq
         ws._slog_real = new_real
-        ws._slog_count_dev = None
+        ws._slog_count_dev = live  # free by-product of the round's scan
         ws._n_upper = min(ws._n_upper + nk_i, out_cap)
         ws._invalidate_index()
         if lazy:

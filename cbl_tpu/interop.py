@@ -130,7 +130,13 @@ def load_reference(path, k: int, prefix_bits: int = 24):
         elif variant == 1:  # Trie(Trie, usize)
             paths: list[tuple] = []
             _read_trie_node(r, 0, nbytes, (), paths)
-            _ = r.varint()  # stored element count
+            stored = r.varint()  # element count (`src/trievec/mod.rs:8-12`)
+            if stored != len(paths):
+                raise ValueError(
+                    f"reference trie bucket {prefix}: stored element count "
+                    f"{stored} != {len(paths)} decoded leaves — corrupted "
+                    "or truncated index file"
+                )
             for p in paths:  # big-endian byte path -> value
                 prefixes.append(prefix)
                 suffixes.append(int.from_bytes(bytes(p), "big"))

@@ -52,40 +52,15 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def _owner_of(words, boundaries):
-    """Range-partition owner: number of boundaries <= word.
-
-    Plain top-bits sharding is catastrophically skewed for necklaces (a
-    minimal rotation statistically starts with ~log2(2K) zero bits, so top
-    bits are almost always 0 — observed 98% of words on shard 0).  Range
-    partitioning by D-1 quantile boundaries keeps shard-major order equal to
-    global sorted order while balancing load; boundaries are derived from
-    data (SURVEY.md §7 "load-aware prefix partitioning").
-
-    boundaries: [D-1, L] sorted rows.  Sentinel (all-ones) words sort after
-    every boundary -> owner D-1, where compaction drops them."""
-    n_b = boundaries.shape[0]
-    owner = jnp.zeros(words.shape[:-1], dtype=jnp.uint32)
-    for j in range(n_b):
-        ge = ~limbs.lt(words, boundaries[j][None, :])
-        owner = owner + ge.astype(jnp.uint32)
-    return owner
-
-
-def _bucket_by_owner(words, owner, n_buckets: int, bucket_cap: int):
-    """Scatter [B, L] rows into [n_buckets, bucket_cap, L] (sentinel-padded),
-    preserving order inside each bucket.  Rows beyond a bucket's capacity are
-    dropped (capacity is chosen = B so this cannot happen)."""
-    B, L = words.shape
-    onehot = (owner[:, None] == jnp.arange(n_buckets, dtype=jnp.uint32)[None, :]).astype(
-        jnp.int32
-    )
-    rank = jnp.cumsum(onehot, axis=0) - 1  # [B, n_buckets]
-    my_rank = jnp.take_along_axis(rank, owner[:, None].astype(jnp.int32), axis=1)[:, 0]
-    slot = owner.astype(jnp.int32) * bucket_cap + my_rank
-    flat = jnp.full((n_buckets * bucket_cap, L), _U32_MAX, dtype=jnp.uint32)
-    flat = flat.at[slot].set(words, mode="drop")
-    return flat.reshape(n_buckets, bucket_cap, L)
+# Routing note: plain top-bits sharding is catastrophically skewed for
+# necklaces (a minimal rotation statistically starts with ~log2(2K) zero
+# bits, so top bits are almost always 0 — observed 98% of words on shard
+# 0).  The range partition by D-1 data-quantile boundaries keeps
+# shard-major order equal to global sorted order while balancing load
+# (SURVEY.md §7 "load-aware prefix partitioning"); owner runs of SORTED
+# rows are contiguous, so every path routes through `_route_sorted`
+# below — the round-1 [B, D] one-hot + cumsum + scatter bucketing
+# (O(B*D) work, quadratic at pod device counts) is gone.
 
 
 @lru_cache(maxsize=None)
@@ -99,8 +74,7 @@ def _insert_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
         # data: [1, C, L] local slice; words: [1, B, L] local batch
         data = data[0]
         words = words[0]
-        owner = _owner_of(words, boundaries)
-        send = _bucket_by_owner(words, owner, D, B)  # [D, B, L]
+        send, _ = _route_sorted(sort_rows(words), boundaries, D, B)
         recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=True)
         cat = jnp.concatenate([data, recv.reshape(D * B, L)], axis=0)
         s = sort_rows(cat)
@@ -136,8 +110,7 @@ def _remove_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
     def local_step(data, words, boundaries):
         data = data[0]
         words = words[0]
-        owner = _owner_of(words, boundaries)
-        send = _bucket_by_owner(words, owner, D, B)
+        send, _ = _route_sorted(sort_rows(words), boundaries, D, B)
         recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=True)
         batch = recv.reshape(D * B, L)
         rows = jnp.concatenate([data, batch], axis=0)
@@ -180,26 +153,34 @@ def _contains_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
     def local_step(data, words, boundaries):
         data = data[0]
         words = words[0]
-        owner = _owner_of(words, boundaries)
-        onehot = (
-            owner[:, None] == jnp.arange(D, dtype=jnp.uint32)[None, :]
-        ).astype(jnp.int32)
-        rank = jnp.cumsum(onehot, axis=0) - 1
-        my_rank = jnp.take_along_axis(
-            rank, owner[:, None].astype(jnp.int32), axis=1
-        )[:, 0]
-        slot = owner.astype(jnp.int32) * B + my_rank
-        flat = jnp.full((D * B, L), _U32_MAX, dtype=jnp.uint32)
-        flat = flat.at[slot].set(words, mode="drop")
-        recv = jax.lax.all_to_all(
-            flat.reshape(D, B, L), AXIS, split_axis=0, concat_axis=0, tiled=True
+        if D == 1:
+            hits = _contains_kernel(data, words) & _valid_mask(words)
+            return hits[None]
+        # sorted routing with the original position as payload: no [B, D]
+        # one-hot, no scatter; the position column both routes results
+        # back into query order (one small key sort) and kills pad/
+        # sentinel artifacts (their position is the dtype max)
+        pos = jnp.arange(B, dtype=jnp.uint32)
+        sc = sort_cols_auto(tuple(words[:, l] for l in range(L)) + (pos,))
+        s = jnp.stack(sc[:L], axis=-1)
+        send, (ppos,), _ = _route_sorted(
+            s, boundaries, D, B, payload=(sc[L],), include_sentinels=True
         )
-        hits = _contains_kernel(data, recv.reshape(D * B, L))  # [D*B]
+        recv = jax.lax.all_to_all(
+            send, AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        rrows = recv.reshape(D * B, L)
+        hits = _contains_kernel(data, rrows) & _valid_mask(rrows)
         back = jax.lax.all_to_all(
             hits.reshape(D, B), AXIS, split_axis=0, concat_axis=0, tiled=True
         )
-        mine = back.reshape(D * B)[slot]  # un-bucket to original order
-        return mine[None]
+        flat_pos = ppos.reshape(D * B)
+        flat_hit = jnp.where(
+            flat_pos == _U32_MAX, jnp.uint32(0),
+            back.reshape(D * B).astype(jnp.uint32),
+        )
+        ordered = sort_cols_auto((flat_pos, flat_hit))[1][:B]
+        return ordered.astype(bool)[None]
 
     step = jax.shard_map(
         local_step,
@@ -228,8 +209,7 @@ def _count_hits_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
     def local_step(data, words, boundaries):
         data = data[0]
         words = words[0]
-        owner = _owner_of(words, boundaries)
-        send = _bucket_by_owner(words, owner, D, B)
+        send, _ = _route_sorted(sort_rows(words), boundaries, D, B)
         recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=True)
         local = count_kernel(data, recv.reshape(D * B, L))
         return jax.lax.psum(local, AXIS)[None]
@@ -244,33 +224,52 @@ def _count_hits_step_fn(cfg: CBLConfig, mesh: Mesh, C: int, B: int):
     return jax.jit(step)
 
 
-def _route_sorted(s, boundaries, D: int, bucket_cap: int):
+def _route_sorted(s, boundaries, D: int, bucket_cap: int, payload=(),
+                  include_sentinels: bool = False):
     """Build the [D, bucket_cap, L] all-to-all send buffer from SORTED rows.
 
     The range partition follows word order, so sorting makes owner runs
     contiguous (sentinels last).  Bucket b then occupies rows
     [off[b], off[b+1]) and the padded send buffer is ONE row gather — no
     [B, D] one-hot matrix and no scatter (TPU scatters run ~10x slower
-    than gathers).  Returns (send, dropped) where dropped counts rows that
-    exceeded bucket_cap (host raises; ~0 with quantile boundaries)."""
+    than gathers; the one-hot cumsum is also O(B*D), quadratic at pod
+    device counts).  Returns (send, dropped) — or (send, payloads,
+    dropped) when 1-D `payload` columns ride along (each gathered with
+    the same permutation, pad slots = dtype max) — where dropped counts
+    rows that exceeded bucket_cap (host raises; ~0 with quantile
+    boundaries).  include_sentinels routes all-ones rows too (they sort
+    after every boundary -> last bucket): ordered-query callers need
+    every input row to come back."""
     B, L = s.shape
-    valid = _valid_mask(s)
-    n_valid = jnp.sum(valid.astype(jnp.int32))
+    if include_sentinels:
+        valid = None
+        n_valid = jnp.int32(B)
+    else:
+        valid = _valid_mask(s)
+        n_valid = jnp.sum(valid.astype(jnp.int32))
     offs = [jnp.int32(0)]
     for b in range(D - 1):
-        offs.append(
-            jnp.sum((valid & limbs.lt(s, boundaries[b][None, :])).astype(jnp.int32))
-        )
+        lt_b = limbs.lt(s, boundaries[b][None, :])
+        if valid is not None:
+            lt_b = valid & lt_b
+        offs.append(jnp.sum(lt_b.astype(jnp.int32)))
     offs.append(n_valid)
     off = jnp.stack(offs)  # [D+1]
     cnt = off[1:] - off[:-1]
     j = jnp.arange(bucket_cap, dtype=jnp.int32)
     idx2 = off[:D, None] + j[None, :]  # [D, cap]
-    send = s[jnp.clip(idx2, 0, B - 1)]  # [D, cap, L]
+    src = jnp.clip(idx2, 0, B - 1)
+    send = s[src]  # [D, cap, L]
     keep = j[None, :] < jnp.minimum(cnt, bucket_cap)[:, None]
     send = jnp.where(keep[..., None], send, _U32_MAX)
     dropped = jnp.sum(jnp.maximum(cnt - bucket_cap, 0))
-    return send, dropped
+    if not payload:
+        return send, dropped
+    outs = tuple(
+        jnp.where(keep, p[src], jnp.array(np.iinfo(p.dtype).max, p.dtype))
+        for p in payload
+    )
+    return send, outs, dropped
 
 
 @lru_cache(maxsize=None)
@@ -502,28 +501,31 @@ def _bulk_contains_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         )
         if D == 1:
             return _contains_sortjoin_kernel(data[0], words)[None]
-        owner = _owner_of(words, boundaries)
-        onehot = (
-            owner[:, None] == jnp.arange(D, dtype=jnp.uint32)[None, :]
-        ).astype(jnp.int32)
-        rank = jnp.cumsum(onehot, axis=0) - 1
-        my_rank = jnp.take_along_axis(
-            rank, owner[:, None].astype(jnp.int32), axis=1
-        )[:, 0]
-        slot = owner.astype(jnp.int32) * nk_sub + my_rank
-        flat = jnp.full((D * nk_sub, L), _U32_MAX, dtype=jnp.uint32)
-        flat = flat.at[slot].set(words, mode="drop")
+        # sorted routing with the k-mer position as payload (no [B, D]
+        # one-hot, no scatter — see _contains_step_fn); blanked rows ride
+        # to the last shard and join as sentinels -> False
+        pos = jnp.arange(nk_sub, dtype=jnp.uint32)
+        sc = sort_cols_auto(tuple(words[:, l] for l in range(L)) + (pos,))
+        s = jnp.stack(sc[:L], axis=-1)
+        send, (ppos,), _ = _route_sorted(
+            s, boundaries, D, nk_sub, payload=(sc[L],),
+            include_sentinels=True,
+        )
         recv = jax.lax.all_to_all(
-            flat.reshape(D, nk_sub, L), AXIS, split_axis=0, concat_axis=0,
-            tiled=True,
+            send, AXIS, split_axis=0, concat_axis=0, tiled=True
         )
         hits = _contains_sortjoin_kernel(data[0], recv.reshape(D * nk_sub, L))
         back = jax.lax.all_to_all(
             hits.reshape(D, nk_sub), AXIS, split_axis=0, concat_axis=0,
             tiled=True,
         )
-        mine = back.reshape(D * nk_sub)[slot]  # un-bucket to stream order
-        return mine[None]
+        flat_pos = ppos.reshape(D * nk_sub)
+        flat_hit = jnp.where(
+            flat_pos == _U32_MAX, jnp.uint32(0),
+            back.reshape(D * nk_sub).astype(jnp.uint32),
+        )
+        ordered = sort_cols_auto((flat_pos, flat_hit))[1][:nk_sub]
+        return ordered.astype(bool)[None]
 
     step = jax.shard_map(
         local_step,
@@ -533,6 +535,160 @@ def _bulk_contains_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
+def _data_to_slog_fn(mesh: Mesh, C: int, L: int):
+    """[D, C, L] sorted shard slices -> [D, C, L+1] tagged slog slices
+    (valid rows = implicit seq-0 inserts, sentinel rows tag MAX)."""
+
+    def local(d):
+        rows = d[0]
+        sent = rows[:, 0] == _U32_MAX
+        for l in range(1, L):
+            sent = sent & (rows[:, l] == _U32_MAX)
+        tag = jnp.where(sent, _U32_MAX, jnp.uint32(1))
+        return jnp.concatenate([rows, tag[:, None]], axis=-1)[None]
+
+    step = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
+def _slog_fold_sharded_fn(cfg: CBLConfig, mesh: Mesh, S: int, C_out: int):
+    """Fold each shard's sorted-log slice back to a clean sorted data
+    slice (wordset._slog_fold_kernel per shard) + exact distinct counts."""
+    from ..wordset import _slog_fold_kernel
+
+    L = cfg.word_limbs
+
+    def local(slog):
+        cols = tuple(slog[0][:, i] for i in range(L + 1))
+        data, n_dev = _slog_fold_kernel(cols, C_out)
+        return data[None], n_dev[None]
+
+    step = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS),),
+        out_specs=(P(AXIS), P(AXIS)), check_vma=False,
+    )
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
+def _dyn_round_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
+                       nk_i: int, nk_q: int, nk_r: int, S_in: int,
+                       S_out: int, cap_u: int, cap_q: int):
+    """One sharded interleaved dynamic round as ONE device program — the
+    distributed analog of `cbl._fused_round_slog_fn` (same tag-sandwich
+    semantics, `/root/reference/src/wordset/mod.rs:97-137`):
+
+    every device pipelines its slice of the three streams, tags its
+    insert/remove words (seq<<2|{1,3}), routes them to owner shards with
+    the tag riding as an all-to-all payload, sorts the received tagged
+    batch, and merges it into its shard's sorted-log slice with one
+    merge-path pass; the round's queries are routed the same way, joined
+    with a second merge pass, and the hit/live counts come back psum'd.
+    Round 3's ShardedCBL paid a full tagged sort of the whole index per
+    op here.  Returns (slog [D, S_out, L+1], total_q, hits, live,
+    dropped) with the scalar outputs replicated per shard."""
+    from ..cbl import _device_words
+    from ..wordset import slog_counts_auto
+    from ..ops.sort_pallas import merge_sorted_pair
+
+    D = mesh.devices.size
+    L = cfg.word_limbs
+
+    def local_step(slog, st_i, s_i, e_i, st_q, s_q, e_q, st_r, s_r, e_r,
+                   boundaries, seq):
+        w_i, _ = _device_words(st_i[0], s_i[0], e_i[0], nk_i, cfg, canonical)
+        w_q, n_valid_q = _device_words(
+            st_q[0], s_q[0], e_q[0], nk_q, cfg, canonical
+        )
+        w_r, _ = _device_words(st_r[0], s_r[0], e_r[0], nk_r, cfg, canonical)
+        base = seq.astype(jnp.uint32) << 2
+        rows_u = jnp.concatenate([w_i, w_r], axis=0)
+        tags_u = jnp.concatenate(
+            [jnp.full((nk_i,), 1, jnp.uint32),
+             jnp.full((nk_r,), 3, jnp.uint32)]
+        ) | base
+        sent_u = rows_u[:, 0] == _U32_MAX
+        for l in range(1, L):
+            sent_u = sent_u & (rows_u[:, l] == _U32_MAX)
+        tags_u = jnp.where(sent_u, _U32_MAX, tags_u)
+        su = sort_cols_auto(
+            tuple(rows_u[:, l] for l in range(L)) + (tags_u,)
+        )
+        if D == 1:
+            brows = jnp.stack(su[:L], axis=-1)
+            btags = su[L]
+            dropped = jnp.int32(0)
+            bs = tuple(brows[:, l] for l in range(L)) + (btags,)
+        else:
+            send, (ptags,), drop_u = _route_sorted(
+                jnp.stack(su[:L], axis=-1), boundaries, D, cap_u,
+                payload=(su[L],),
+            )
+            recv = jax.lax.all_to_all(
+                send, AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+            rtags = jax.lax.all_to_all(
+                ptags, AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+            rr = recv.reshape(D * cap_u, L)
+            bs = sort_cols_auto(
+                tuple(rr[:, l] for l in range(L)) + (rtags.reshape(-1),)
+            )
+            dropped = drop_u
+        a_cols = tuple(slog[0][:, i] for i in range(L + 1))
+        merged = merge_sorted_pair(a_cols, bs) if S_in else bs
+        total = S_in + bs[0].shape[0]
+        if total > S_out:
+            merged = tuple(c[:S_out] for c in merged)
+        elif total < S_out:
+            pad = jnp.full((S_out - total,), _U32_MAX, jnp.uint32)
+            merged = tuple(jnp.concatenate([c, pad]) for c in merged)
+        # queries: route, tag on arrival (pads/sentinels -> MAX), join
+        qtag = base | jnp.uint32(2)
+        if D == 1:
+            qrows = w_q
+            dq = jnp.int32(0)
+        else:
+            sq = sort_cols_auto(tuple(w_q[:, l] for l in range(L)))
+            send_q, dq = _route_sorted(
+                jnp.stack(sq, axis=-1), boundaries, D, cap_q
+            )
+            qrows = jax.lax.all_to_all(
+                send_q, AXIS, split_axis=0, concat_axis=0, tiled=True
+            ).reshape(D * cap_q, L)
+        qvalid = ~(qrows[:, 0] == _U32_MAX)
+        for l in range(1, L):
+            qvalid = qvalid | (qrows[:, l] != _U32_MAX)
+        tags_q = jnp.where(qvalid, qtag, _U32_MAX)
+        qs = sort_cols_auto(
+            tuple(qrows[:, l] for l in range(L)) + (tags_q,)
+        )
+        j = merge_sorted_pair(merged, qs)
+        hits, live = slog_counts_auto(j, qtag)
+        out = jnp.stack(merged, axis=-1)
+        return (
+            out[None],
+            jax.lax.psum(n_valid_q, AXIS)[None],
+            jax.lax.psum(hits, AXIS)[None],
+            jax.lax.psum(live, AXIS)[None],
+            jax.lax.psum(dropped + dq, AXIS)[None],
+        )
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS),) + (P(AXIS),) * 9 + (P(), P()),
+        out_specs=(P(AXIS),) * 5,
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0,))
 
 
 @lru_cache(maxsize=None)
@@ -720,8 +876,7 @@ class ShardedCBL:
         self.cfg = get_config(k=k, prefix_bits=prefix_bits)
         self.canonical = canonical
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.D = self.mesh.devices.size
-        assert self.D & (self.D - 1) == 0, "device count must be a power of two"
+        self.D = self.mesh.devices.size  # any size >= 1 (not only pow2)
         self.C = shard_capacity
         self.B = batch_per_device
         self.L = self.cfg.word_limbs
@@ -747,6 +902,18 @@ class ShardedCBL:
         self.boundaries = limbs.from_py_ints(default, self.L)
         self._boundaries_from_data = False
         self._dropped_dev = None  # deferred bucket-overflow counter
+        # sticky corruption flag: once a bucket overflow dropped words the
+        # index is silently incomplete — every later sync/query re-raises
+        # until the index is rebuilt (catching the first error must not
+        # un-detect the loss)
+        self._corrupt = False
+        # sharded sorted-log (interleaved dynamic rounds): when active,
+        # `_slog_dev` [D, S, L+1] REPLACES `data` as the set representation
+        # until `_fold_slog` runs (same contract as DeviceWordSet._slog)
+        self._slog_dev = None
+        self._slog_seq = 0
+        self._slog_real = 0  # per-shard bound on non-sentinel slog rows
+        self._slog_live_dev = None  # psum'd distinct count, free per round
 
     def _maybe_init_boundaries(self, words: np.ndarray) -> None:
         """Derive balanced quantile boundaries from the first word batch."""
@@ -845,8 +1012,93 @@ class ShardedCBL:
         self.shard_counts  # sync: used rows == distinct counts now
 
     def _ensure_clean(self) -> None:
+        self._fold_slog()
         if self._dups:
             self._dedup_now()
+
+    # --- sharded sorted-log (interleaved dynamic rounds) ---
+
+    def _fold_slog(self) -> None:
+        """Collapse an active sharded sorted-log back into clean `data`
+        slices (one scan + compaction sort per shard)."""
+        if self._slog_dev is None:
+            return
+        slog = self._slog_dev
+        self._slog_dev = None
+        self._slog_seq = 0
+        self._slog_live_dev = None
+        c_out = max(_next_pow2(max(self._slog_real, 1)), MIN_CAP)
+        self._slog_real = 0
+        fn = _slog_fold_sharded_fn(self.cfg, self.mesh, slog.shape[1], c_out)
+        self.data, counts = fn(slog)
+        self.C = c_out
+        self._dups = False
+        self._set_counts_dev(counts, c_out)
+
+    def dynamic_round(self, ins, qry, rm, lazy: bool = False):
+        """One interleaved round over the mesh — insert every k-mer of
+        `ins`, count-query `qry` (sees the inserts, not the removes),
+        remove every k-mer of `rm` — as ONE sharded device program when
+        each stream fits a single sub-slab group (`_dyn_round_step_fn`);
+        otherwise the separate bulk calls.  Args are (codes, offsets)
+        tuples; returns (total, positive)."""
+        self._check_dropped()
+        gi = list(self._sub_slab_groups(*ins))
+        gq = list(self._sub_slab_groups(*qry))
+        gr = list(self._sub_slab_groups(*rm))
+        if len(gi) != 1 or len(gq) != 1 or len(gr) != 1:
+            self.insert_codes_stream(*ins)
+            t, p = self.query_codes_stream(*qry)
+            self.remove_codes_stream(*rm)
+            return t, p
+        nk_i, st_i, s_i, e_i = gi[0]
+        nk_q, st_q, s_q, e_q = gq[0]
+        nk_r, st_r, s_r, e_r = gr[0]
+        self._maybe_init_boundaries_from_stream(nk_i, st_i, s_i, e_i)
+        if self._slog_dev is None:
+            self._slog_dev = _data_to_slog_fn(self.mesh, self.C, self.L)(
+                self.data
+            )
+            self._slog_real = min(
+                self._count_upper if not self._dups else self.C, self.C
+            )
+        S_in = self._slog_dev.shape[1]
+        cap_u = max(
+            4096, _next_pow2(max(1, 2 * (nk_i + nk_r) // self.D))
+        )
+        cap_q = max(4096, _next_pow2(max(1, 2 * nk_q // self.D)))
+        grow = (nk_i + nk_r) if self.D == 1 else self.D * cap_u
+        new_real = self._slog_real + grow
+        S_out = (
+            S_in if new_real <= S_in
+            else max(_next_pow2(new_real), MIN_CAP)
+        )
+        seq = self._slog_seq + 1
+        fn = _dyn_round_step_fn(
+            self.cfg, self.canonical, self.mesh, nk_i, nk_q, nk_r,
+            S_in, S_out, cap_u, cap_q,
+        )
+        slog, total, hits, live, dropped = fn(
+            self._slog_dev,
+            self._put_rows(st_i), self._put_rows(s_i), self._put_rows(e_i),
+            self._put_rows(st_q), self._put_rows(s_q), self._put_rows(e_q),
+            self._put_rows(st_r), self._put_rows(s_r), self._put_rows(e_r),
+            jnp.asarray(self.boundaries), np.uint32(seq),
+        )
+        self._slog_dev = slog
+        self._slog_seq = seq
+        self._slog_real = new_real
+        self._slog_live_dev = live
+        self._counts_host = None
+        if self.D > 1:
+            self._dropped_dev = (
+                dropped if self._dropped_dev is None
+                else self._dropped_dev + dropped
+            )
+        if lazy:
+            return total, hits
+        t, p = (int(x[0]) for x in jax.device_get((total, hits)))
+        return t, p
 
     def _ensure_capacity(self, incoming_per_shard: int) -> None:
         need = self._count_upper + incoming_per_shard
@@ -886,6 +1138,7 @@ class ShardedCBL:
         """words: [N, L] host/device rows (sentinel rows ignored); they are
         split evenly across devices, routed to owners, and merged.  The
         update chain stays async on device; counts sync lazily."""
+        self._fold_slog()
         words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
         self._maybe_init_boundaries(words)
         B = self.B
@@ -906,6 +1159,7 @@ class ShardedCBL:
     def remove_words(self, words) -> None:
         """Remove [N, L] word rows (sentinel rows and absent words are
         no-ops), routed to owner shards like the insert path."""
+        self._fold_slog()
         words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
         B = self.B
         bnd = jnp.asarray(self.boundaries)
@@ -921,6 +1175,8 @@ class ShardedCBL:
             self._set_counts_dev(counts, self._count_upper)
 
     def contains_words(self, words) -> np.ndarray:
+        self._check_dropped()
+        self._fold_slog()
         words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
         out = []
         B = self.B
@@ -939,10 +1195,15 @@ class ShardedCBL:
         return np.concatenate(out)
 
     def count(self) -> int:
+        if self._slog_dev is not None and self._slog_live_dev is not None:
+            self._check_dropped()
+            return int(np.asarray(self._slog_live_dev)[0])
         return int(self.shard_counts.sum())
 
     def count_hits(self, words) -> int:
         """Distributed counting query (sentinel rows ignored)."""
+        self._check_dropped()
+        self._fold_slog()
         words = np.asarray(words, dtype=np.uint32).reshape(-1, self.L)
         bnd = jnp.asarray(self.boundaries)
         fn = _count_hits_step_fn(self.cfg, self.mesh, self.C, self.B)
@@ -1157,7 +1418,15 @@ class ShardedCBL:
 
     def _check_dropped(self) -> None:
         """Verify no routed word overflowed its bucket (one deferred sync
-        per insert stream; ~0 drops with quantile boundaries)."""
+        per insert stream; ~0 drops with quantile boundaries).  Once an
+        overflow is seen the index is permanently marked corrupt and every
+        later call re-raises — a caller that catches the first error must
+        not keep using a silently incomplete index."""
+        if self._corrupt:
+            raise RuntimeError(
+                "sharded index is corrupt: an earlier insert dropped words "
+                "on bucket overflow; rebuild the index"
+            )
         if self._dropped_dev is None:
             return
         d = self._dropped_dev
@@ -1165,6 +1434,7 @@ class ShardedCBL:
         n = int(np.asarray(d.addressable_shards[0].data)[0]
                 if self._multiproc else np.asarray(d)[0])
         if n != 0:
+            self._corrupt = True
             raise RuntimeError(
                 "sharded insert bucket overflow: range partition too "
                 "skewed; rebuild with boundaries from representative data"
@@ -1174,6 +1444,7 @@ class ShardedCBL:
         """Distributed bulk build: every device pipelines its own stream
         slice, routes words to owner shards (one all-to-all), and merges
         once per slab group — no per-batch host round-trips."""
+        self._fold_slog()
         for nk_sub, stream, starts, ends in self._sub_slab_groups(
             codes, offsets
         ):
@@ -1192,6 +1463,7 @@ class ShardedCBL:
         analog of `CBL.remove_codes_stream` / reference `remove_seq`,
         `/root/reference/src/wordset/mod.rs:218-237`), replacing the former
         per-2^14-word-batch host loop."""
+        self._fold_slog()
         for nk_sub, stream, starts, ends in self._sub_slab_groups(
             codes, offsets
         ):
@@ -1220,6 +1492,8 @@ class ShardedCBL:
         distributed counting query (CLI `query` contract).  One fused
         pipeline+route+join program per slab group; scalars accumulate on
         device and sync once."""
+        self._check_dropped()
+        self._fold_slog()
         total_dev = positive_dev = None
         for nk_sub, stream, starts, ends in self._sub_slab_groups(
             codes, offsets
@@ -1244,6 +1518,8 @@ class ShardedCBL:
         assembly reads every shard's mask, so this entry point is for
         single-process meshes (multi-process callers keep the counting
         query, whose scalars replicate)."""
+        self._check_dropped()
+        self._fold_slog()
         k = self.cfg.k
         nk = max(len(codes) - k + 1, 0)
         parts = []

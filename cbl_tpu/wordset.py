@@ -904,15 +904,36 @@ def _slog_hits(s, L: int, qtag):
     return jnp.sum(hit.astype(jnp.int32))
 
 
+def slog_counts_auto(cols, qtag):
+    """(hits, live) int32 scalars over slog columns: hits = rows with tag
+    == qtag whose word is live at their position; live = distinct live
+    words.  On TPU at size, the single-HBM-pass Pallas scan kernel
+    (ops/scan_pallas.py) produces BOTH in one pass; otherwise the XLA
+    cummax scan.  The dispatch is trace-time static (same pattern as the
+    merge kernels)."""
+    from .ops.scan_pallas import scan_engages, slog_scan_counts_pallas
+
+    cols = tuple(cols)
+    L = len(cols) - 1
+    n = cols[0].shape[0]
+    if scan_engages(n):
+        interpret = jax.default_backend() in ("cpu",)
+        return slog_scan_counts_pallas(cols, qtag, interpret=interpret)
+    neq, sentinel, live_here = _slog_scan(cols, L)
+    hit = (cols[L] == qtag) & ~sentinel & live_here
+    run_end = jnp.concatenate([neq, jnp.ones((1,), dtype=bool)])
+    live = run_end & ~sentinel & live_here
+    return (
+        jnp.sum(hit.astype(jnp.int32)),
+        jnp.sum(live.astype(jnp.int32)),
+    )
+
+
 @jax.jit
 def _slog_count_kernel(cols):
     """Distinct live words of a slog: word runs whose LAST entry is an
     insert (evaluated at each run's final row)."""
-    L = len(cols) - 1
-    neq, sentinel, live_here = _slog_scan(cols, L)
-    run_end = jnp.concatenate([neq, jnp.ones((1,), dtype=bool)])
-    live = run_end & ~sentinel & live_here
-    return jnp.sum(live.astype(jnp.int32))
+    return slog_counts_auto(cols, jnp.uint32(_U32_MAX))[1]
 
 
 @jax.jit
@@ -927,7 +948,7 @@ def _slog_join_count(cols, queries):
         tuple(queries[:, l] for l in range(L))
         + (jnp.full((Q,), _U32_MAX, jnp.uint32),),
     )
-    return _slog_hits(s, L, jnp.uint32(_U32_MAX))
+    return slog_counts_auto(s, jnp.uint32(_U32_MAX))[0]
 
 
 @partial(jax.jit, static_argnames=("out_cap",))

@@ -460,3 +460,125 @@ def test_sharded_insert_overflow_detected_deferred(mesh):
     offsets = np.array([0, len(codes)], dtype=np.int64)
     with pytest.raises(RuntimeError, match="bucket overflow"):
         idx.insert_codes_stream(codes, offsets)
+
+
+def test_sharded_overflow_flag_is_sticky(mesh):
+    """Catching the overflow error and continuing must NOT silently use the
+    incomplete index: every later sync/query re-raises (ADVICE round 3)."""
+    idx = ShardedCBL(k=25, mesh=mesh)
+    idx.boundaries = np.full_like(np.asarray(idx.boundaries), 0xFFFFFFFF)
+    idx._boundaries_from_data = True
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 4, size=300_000, dtype=np.uint8)
+    offsets = np.array([0, len(codes)], dtype=np.int64)
+    with pytest.raises(RuntimeError, match="bucket overflow"):
+        idx.insert_codes_stream(codes, offsets)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        idx.count()
+    with pytest.raises(RuntimeError, match="corrupt"):
+        idx.contains_words(np.zeros((4, idx.L), dtype=np.uint32))
+    with pytest.raises(RuntimeError, match="corrupt"):
+        idx.query_codes_stream(codes[:1000], np.array([0, 1000]))
+
+
+def test_sharded_non_pow2_mesh():
+    """Word-level and bulk paths on a 6-device mesh (the sorted routing is
+    D-agnostic; round 3 asserted power-of-two)."""
+    from cbl_tpu.kmer import encode_seq
+
+    mesh6 = make_mesh(jax.devices()[:6])
+    seq = _random_nucs(9_000, seed=55)
+    codes = encode_seq(seq)
+    x = ShardedCBL(k=25, mesh=mesh6, batch_per_device=512)
+    x.insert_codes_stream(codes, np.array([0, len(codes)], dtype=np.int64))
+    single = CBL(k=25)
+    single.insert_seq(seq)
+    assert x.count() == single.count()
+    np.testing.assert_array_equal(x.words_array(),
+                                  single.wordset.words_array())
+    # word-level point paths (insert/contains/remove via _route_sorted)
+    extra = single.wordset.words_array()[:64]
+    mask = x.contains_words(extra)
+    assert mask.all()
+    miss = np.asarray(extra).copy()
+    miss[:, -1] ^= 1
+    got = x.contains_words(np.concatenate([extra, miss]))
+    expect = np.asarray(single.wordset.contains_words(
+        np.concatenate([extra, miss])))
+    np.testing.assert_array_equal(got, expect)
+    x.remove_words(extra)
+    assert x.count() == single.count() - len(extra)
+    x.insert_words(extra)
+    assert x.count() == single.count()
+    # ordered stream masks on 6 devices
+    masks = x.contains_seqs([seq[:2_000], _random_nucs(1_000, seed=56)])
+    e = single.contains_seqs([seq[:2_000], _random_nucs(1_000, seed=56)])
+    for g, w in zip(masks, e):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("nd", [1, 8])
+def test_sharded_dynamic_rounds_match_single_chip(nd):
+    """Sharded interleaved dynamic rounds (one fused program per round over
+    the mesh's sorted-log slices) must match single-chip dynamic_round
+    exactly: per-round totals/positives, mid-workload count, and the final
+    folded word set."""
+    from cbl_tpu.kmer import encode_seq
+
+    mesh_n = make_mesh(jax.devices()[:nd])
+    rng = np.random.default_rng(77)
+    bases = 40_000
+    codes = rng.integers(0, 4, size=bases, dtype=np.uint8)
+    SEGS = 4
+    sb = bases // SEGS
+    off1 = np.array([0, sb], dtype=np.int64)
+    off_h = np.array([0, sb // 2], dtype=np.int64)
+
+    single = CBL(k=25)
+    x = ShardedCBL(k=25, mesh=mesh_n, batch_per_device=512)
+    for i in range(SEGS):
+        seg = codes[i * sb:(i + 1) * sb]
+        q0 = codes[(i - 1 if i else 0) * sb:((i - 1 if i else 0) + 1) * sb]
+        half = codes[i * sb:i * sb + sb // 2]
+        want = single.dynamic_round(
+            (seg, off1), (q0, off1), (half, off_h))
+        got = x.dynamic_round((seg, off1), (q0, off1), (half, off_h))
+        assert got == want, (i, got, want)
+        # mid-workload count: free by-product of the round's scan
+        assert x._slog_dev is not None
+        assert x.count() == single.count()
+        assert x._slog_dev is not None  # count did not fold
+    np.testing.assert_array_equal(
+        x.words_array(), single.wordset.words_array()
+    )
+    assert x._slog_dev is None  # words_array folded
+
+
+def test_sharded_dynamic_then_mixed_api():
+    """APIs interleaved with sharded rounds fold the log first and stay
+    exact (insert/contains/query/algebra after rounds)."""
+    from cbl_tpu.kmer import encode_seq
+
+    mesh8 = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(78)
+    codes = rng.integers(0, 4, size=24_000, dtype=np.uint8)
+    off = np.array([0, 8_000], dtype=np.int64)
+    single = CBL(k=25)
+    x = ShardedCBL(k=25, mesh=mesh8, batch_per_device=512)
+    for idx0 in (single, x):
+        idx0.dynamic_round(
+            (codes[:8_000], off), (codes[:8_000], off),
+            (codes[4_000:12_000], off))
+    t_s, p_s = single.query_codes_stream(codes[8_000:16_000], off)
+    t_x, p_x = x.query_codes_stream(codes[8_000:16_000], off)
+    assert (t_x, p_x) == (t_s, p_s)
+    # a second round AFTER the fold re-enters the slog cleanly
+    r_s = single.dynamic_round(
+        (codes[16_000:], off), (codes[:8_000], off), (codes[:8_000], off))
+    r_x = x.dynamic_round(
+        (codes[16_000:], off), (codes[:8_000], off), (codes[:8_000], off))
+    assert r_x == r_s
+    assert x.count() == single.count()
+    np.testing.assert_array_equal(
+        x.words_array(), single.wordset.words_array()
+    )
