@@ -476,6 +476,9 @@ def main():
     ap.add_argument("--platform", default=None, help="e.g. cpu (default: real chip)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the benched "
+                    "workload into DIR (cbl_tpu.profiling)")
     ap.add_argument(
         "--mode", default="static",
         choices=["static", "dynamic", "largek", "algebra", "genome",
@@ -489,6 +492,16 @@ def main():
     if args.platform:
         os.environ["CBL_TPU_PLATFORM"] = args.platform
 
+    if args.trace:
+        from cbl_tpu.profiling import trace
+
+        print(f"tracing into {args.trace}", file=sys.stderr)
+        with trace(args.trace):
+            return _run_mode(args)
+    return _run_mode(args)
+
+
+def _run_mode(args):
     if args.mode == "genome":
         return mode_genome(args)
     rng = np.random.default_rng(0)

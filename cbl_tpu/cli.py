@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="cbl_tpu",
         description="TPU-native CBL: an exact, dynamic representation of k-mer sets",
     )
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the whole command into DIR "
+        "(view with TensorBoard/xprof); place BEFORE the subcommand",
+    )
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("build", help="Build an index containing the k-mers of a FASTA/Q file")
@@ -114,6 +119,16 @@ def _stream_file(cbl, path, op: str) -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.trace:
+        from .profiling import trace
+
+        _eprint(f"Capturing jax.profiler trace into {args.trace}")
+        with trace(args.trace):
+            return _run(args)
+    return _run(args)
+
+
+def _run(args) -> int:
     from .cbl import CBL
 
     cmd = args.command
@@ -138,10 +153,20 @@ def main(argv=None) -> int:
                 _eprint(f"Writing the index to {args.output}")
                 cbl.save_to_file(args.output)
             return 0
+        from . import io
+        from .profiling import ThroughputMeter
+
         cbl = CBL(k=k, prefix_bits=pb, canonical=args.canonical)
-        _stream_file(cbl, args.input, "insert")
+        meter = ThroughputMeter("build throughput")
+        codes, offsets = io.parse_fastx(args.input)
+        cbl.insert_codes_stream(codes, offsets)
         cbl.wordset.flush()
+        meter.add(sum(
+            max(int(offsets[i + 1] - offsets[i]) - k + 1, 0)
+            for i in range(len(offsets) - 1)
+        ))
         _eprint(f"Built in {time.time()-t0:.2f}s ({cbl.count()} k-mers)")
+        meter.report()
         if args.output:
             _write_index(cbl, args.output)
     elif cmd == "count":
@@ -168,7 +193,10 @@ def main(argv=None) -> int:
         kind = "canonical k-mers" if cbl.is_canonical() else "k-mers"
         _eprint(f"Querying the {kind} contained in {args.input}")
         codes, offsets = io.parse_fastx(args.input)
+        from .profiling import ThroughputMeter
+
         t0 = time.time()
+        meter = ThroughputMeter("query throughput")
         if args.sharded:
             from .parallel import ShardedCBL
 
@@ -177,11 +205,13 @@ def main(argv=None) -> int:
             total, positive = sharded.query_codes_stream(codes, offsets)
         else:
             total, positive = cbl.query_codes_stream(codes, offsets)
+        meter.add(total)
         dt = time.time() - t0
         _eprint(f"# queries: {total}")
         pct = (positive * 100) / total if total else 0.0
         _eprint(f"# positive queries: {positive} ({pct:.2f}%)")
         _eprint(f"Queried in {dt:.2f}s")
+        meter.report()
     elif cmd in ("insert", "remove"):
         cbl = _read_index(args.index)
         verb = "Adding" if cmd == "insert" else "Removing"
