@@ -37,7 +37,7 @@ import numpy as np
 from . import kmer as kmod
 from . import limbs, necklace
 from .config import CBLConfig, get_config
-from .wordset import DeviceWordSet
+from .wordset import _SLOG_SEQ_MAX, DeviceWordSet
 
 DEFAULT_CHUNK = 1 << 19  # k-mers per device program
 _U32_MAX = np.uint32(0xFFFFFFFF)
@@ -212,78 +212,72 @@ def _fused_contains_fn(cfg: CBLConfig, canonical: bool, nk_pad: int):
 
 
 @lru_cache(maxsize=None)
-def _fused_round_slog_fn(cfg: CBLConfig, canonical: bool, nk_i: int,
-                         nk_q: int, nk_r: int, a_cap: int, out_cap: int):
+def _fused_round_slog_fn(cfg: CBLConfig, nk_i: int, nk_q: int, nk_r: int,
+                         a_cap: int, out_cap: int):
     """One interleaved dynamic round as a SINGLE device program over the
-    SORTED-LOG representation (wordset.py slog kernels): pipeline all
-    three streams, tag them (seq<<2 | {1=ins, 2=qry, 3=rm}), sort this
-    round's insert+remove batch, merge it into the already-sorted log
-    with one merge-path pass, then join the round's (sorted) queries
-    against the merged log with a second merge pass + scan.
+    SORTED-LOG representation (wordset.py slog kernels): take the three
+    streams' PRE-SORTED word arrays (PackedStream memo — a re-used
+    stream, e.g. querying what an earlier round inserted, never re-sorts
+    and never re-runs the necklace pipeline), tag each with its constant
+    (seq<<2 | {1=ins, 2=qry, 3=rm}), combine them with two small
+    merge-path passes, merge the batch into the log with one big pass,
+    and scan the result once for the round's query hits AND the set's
+    distinct count (the Pallas single-pass scan).
 
     The tag sandwich makes the reference's sequential per-op semantics
     (`/root/reference/src/wordset/mod.rs:97-137`) a property of the sort
-    order: a round's queries carry tag (seq<<2|2), which sorts after its
-    inserts (|1) but before its removes (|3), and `_slog_hits` only
-    honours entries at-or-before each query.  Query rows NEVER enter the
-    stored log (round 3 kept them as inert ballast that every later
-    merge and scan paid for); the log grows by nk_i+nk_r real rows per
-    round and lives in a geometric capacity family: the A side arrives
-    at capacity `a_cap` (trailing sentinel rows), the output is
-    truncated/padded to `out_cap`, so round programs are REUSED until
-    the capacity actually grows (bounded jit variants instead of one
-    compile per round).  The caller guarantees real rows <= out_cap, so
-    truncation only ever drops all-sentinel tail rows.  Returns
-    (merged slog cols [out_cap], total_q, positive, live): the Pallas
-    scan kernel produces the round's positive count AND the set's
-    distinct count from the same single pass (query rows are never
-    entries, so live(merged + queries) == live(merged))."""
+    order: a round's queries sort after its inserts but before its
+    removes, and the scan only honours entries at-or-before each query.
+
+    Design note (measured, session21): joining queries with a SECOND
+    merge pass against the log — keeping them out of the stored state —
+    costs more than the ballast it avoids, because every merge pass is
+    O(log); so queries ride in the ONE batch merge and stay behind as
+    inert rows until `maybe_autofold_slog` strips them.  The log lives
+    in a 1/8-step quantized capacity family (`_quantize_cap`): <=12.5%
+    sentinel padding, bounded compile variants, and truncation only ever
+    drops all-sentinel tail rows (the caller guarantees real <= out_cap).
+    With the packed-tag layout (`wordset.slog_packed`, e.g. K=25) the tag
+    rides inside the word limbs, so every pass below handles L columns
+    instead of L+1 — one third less HBM traffic and VPU work at L=2.
+    Returns (merged slog cols [out_cap], positive, live)."""
     from .wordset import _U32_MAX as _MAX
-    from .wordset import slog_counts_auto, sort_cols_auto
+    from .wordset import _shl8_or, slog_counts_auto, slog_packed
     from .ops.sort_pallas import merge_sorted_pair
 
     L = cfg.word_limbs
+    pack = slog_packed(cfg)
 
-    def tag_sentinels(rows, tags):
-        sent = rows[:, 0] == _MAX
+    def tagged(words, n, typ, base):
+        sent = words[:, 0] == _MAX
         for l in range(1, L):
-            sent = sent & (rows[:, l] == _MAX)
-        return jnp.where(sent, _MAX, tags)  # blanked rows stay inert
+            sent = sent & (words[:, l] == _MAX)
+        cols = tuple(words[:, l] for l in range(L))
+        if pack:
+            tag = jnp.where(sent, jnp.uint32(0xFF), jnp.uint32(typ) | base)
+            return _shl8_or(cols, tag)
+        tags = jnp.where(sent, _MAX, jnp.uint32(typ) | base)
+        return cols + (tags,)
 
     @jax.jit
-    def run(a_cols, seq, stream_i, s_i, e_i, stream_q, s_q, e_q,
-            stream_r, s_r, e_r):
-        w_i, _ = _device_words(stream_i, s_i, e_i, nk_i, cfg, canonical)
-        w_q, n_valid_q = _device_words(stream_q, s_q, e_q, nk_q, cfg,
-                                       canonical)
-        w_r, _ = _device_words(stream_r, s_r, e_r, nk_r, cfg, canonical)
+    def run(a_cols, seq, w_i, w_q, w_r):
         base = seq.astype(jnp.uint32) << 2
-        rows_u = jnp.concatenate([w_i, w_r], axis=0)
-        tags_u = jnp.concatenate(
-            [
-                jnp.full((nk_i,), 1, jnp.uint32),
-                jnp.full((nk_r,), 3, jnp.uint32),
-            ]
-        ) | base
-        tags_u = tag_sentinels(rows_u, tags_u)
-        us = sort_cols_auto(
-            tuple(rows_u[:, l] for l in range(L)) + (tags_u,)
-        )
-        merged = merge_sorted_pair(a_cols, us) if a_cap else us
-        total = a_cap + nk_i + nk_r
+        # constant per-stream tags keep each sorted stream (word, tag)-
+        # sorted; sentinel rows stay all-ones and at the end
+        b = merge_sorted_pair(tagged(w_i, nk_i, 1, base),
+                              tagged(w_q, nk_q, 2, base))
+        b = merge_sorted_pair(b, tagged(w_r, nk_r, 3, base))
+        merged = merge_sorted_pair(a_cols, b) if a_cap else b
+        total = a_cap + nk_i + nk_q + nk_r
         if total > out_cap:
             merged = tuple(c[:out_cap] for c in merged)
         elif total < out_cap:
             pad = jnp.full((out_cap - total,), _MAX, jnp.uint32)
             merged = tuple(jnp.concatenate([c, pad]) for c in merged)
-        qtag = base | jnp.uint32(2)
-        tags_q = tag_sentinels(w_q, jnp.full((nk_q,), 2, jnp.uint32) | base)
-        qs = sort_cols_auto(
-            tuple(w_q[:, l] for l in range(L)) + (tags_q,)
+        positive, live = slog_counts_auto(
+            merged, base | jnp.uint32(2), pack
         )
-        j = merge_sorted_pair(merged, qs)
-        positive, live = slog_counts_auto(j, qtag)
-        return merged, n_valid_q, positive, live
+        return merged, positive, live
 
     return run
 
@@ -721,47 +715,43 @@ class CBL:
             t, p = self.query_codes_stream(ps_q, lazy=lazy)
             self.remove_codes_stream(ps_r)
             return t, p
-        nk_i, st_i, s_i, e_i, _ = ps_i.slabs[0]
-        nk_q, st_q, s_q, e_q, _ = ps_q.slabs[0]
-        nk_r, st_r, s_r, e_r, _ = ps_r.slabs[0]
+        w_i, _ = self._sorted_slab_words(ps_i)
+        w_q, total = self._sorted_slab_words(ps_q)
+        w_r, _ = self._sorted_slab_words(ps_r)
+        nk_i, nk_q, nk_r = (w.shape[0] for w in (w_i, w_q, w_r))
         if ws.n_pending > 0:
             ws.flush()
+        if ws._slog_pack and ws._slog_seq >= _SLOG_SEQ_MAX:
+            ws._fold_slog()  # the packed 8-bit tag caps round_seq at 63
         ws.maybe_autofold_slog()
+        n_slog_cols = ws.L if ws._slog_pack else ws.L + 1
         if ws._slog is None:
             if ws._holes:
                 ws._compact()
             if ws._n_upper == 0:
                 a_cols = tuple(
-                    jnp.zeros((0,), jnp.uint32) for _ in range(ws.L + 1)
+                    jnp.zeros((0,), jnp.uint32) for _ in range(n_slog_cols)
                 )
                 a_real = 0
             else:
-                from .wordset import _data_entry_tags
+                from .wordset import _data_to_slog_cols
 
                 live = ws._live()
-                a_cols = tuple(live[:, l] for l in range(ws.L)) + (
-                    _data_entry_tags(live),
-                )
+                a_cols = _data_to_slog_cols(live, ws._slog_pack)
                 a_real = min(ws._n_upper, live.shape[0])
         else:
             a_cols = ws._slog
             a_real = ws._slog_real
-        from .wordset import MIN_CAP, _next_pow2
+        from .wordset import _quantize_cap
 
         a_cap = a_cols[0].shape[0]
-        new_real = a_real + nk_i + nk_r
-        out_cap = (
-            a_cap if new_real <= a_cap
-            else max(_next_pow2(new_real), MIN_CAP)
-        )
+        new_real = a_real + nk_i + nk_q + nk_r
+        out_cap = a_cap if new_real <= a_cap else _quantize_cap(new_real)
         seq = ws._slog_seq + 1
         fn = _fused_round_slog_fn(
-            self.cfg, self.canonical, nk_i, nk_q, nk_r, a_cap, out_cap
+            self.cfg, nk_i, nk_q, nk_r, a_cap, out_cap
         )
-        merged, total, positive, live = fn(
-            a_cols, np.uint32(seq), st_i, s_i, e_i, st_q, s_q, e_q,
-            st_r, s_r, e_r,
-        )
+        merged, positive, live = fn(a_cols, np.uint32(seq), w_i, w_q, w_r)
         # commit state only after the round program was built and enqueued
         # (a compile/launch failure must not advance the log sequence)
         ws._slog = merged
@@ -774,6 +764,27 @@ class CBL:
             return total, positive
         t, p = jax.device_get((total, positive))
         return int(t), int(p)
+
+    def _sorted_slab_words(self, ps: "PackedStream"):
+        """(sorted words [nk_pad, L], n_valid device scalar) of a
+        single-slab stream, through the PackedStream memo: a stream whose
+        words were already computed (its own insert pass, or an earlier
+        round) never re-runs the pipeline, and one that was already
+        SORTED never re-sorts."""
+        from .wordset import sort_rows
+
+        nk_pad, stream, s_arr, e_arr, _ = ps.slabs[0]
+        cached = ps._words.get(0)
+        if cached is None:
+            words, n_valid = _fused_words_sorted_fn(
+                self.cfg, self.canonical, nk_pad
+            )(stream, s_arr, e_arr)
+            cached = (words, n_valid, True)
+        elif not cached[2]:
+            cached = (sort_rows(cached[0]), cached[1], True)
+        if ps._cache_on:
+            ps._words[0] = cached
+        return cached[0], cached[1]
 
     def _resolve_round_stream(self, x) -> "PackedStream":
         if isinstance(x, PackedStream):

@@ -78,9 +78,14 @@ def _prefix_max_flat(m, block_rows: int):
 
 
 @lru_cache(maxsize=None)
-def _scan_call(L: int, n_rows: int, block_rows: int, interpret: bool):
+def _scan_call(L: int, n_rows: int, block_rows: int, interpret: bool,
+               pack: bool = False):
+    """pack=True: the tag lives in the low 8 bits of the last word limb
+    (wordset packed-tag layout) — there are L columns total, the tag is
+    extracted with a mask, and run grouping masks those bits out."""
     TILE = block_rows * _LANES
     G = n_rows // block_rows
+    NCOL = L if pack else L + 1
     # SMEM carry layout: [0]=running marker max, [1..L]=prev word limbs
     # (as int32 bit patterns), [L+1]=pending liveness of the previous
     # tile's last row, [L+2]=hits accum, [L+3]=live accum
@@ -88,9 +93,9 @@ def _scan_call(L: int, n_rows: int, block_rows: int, interpret: bool):
 
     def kernel(qtag_ref, *refs):
         x_refs = refs[:L]
-        tag_ref = refs[L]
-        hits_ref, live_ref = refs[L + 1], refs[L + 2]
-        carry = refs[L + 3]
+        tag_ref = refs[L - 1] if pack else refs[L]
+        hits_ref, live_ref = refs[NCOL], refs[NCOL + 1]
+        carry = refs[NCOL + 2]
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -102,20 +107,27 @@ def _scan_call(L: int, n_rows: int, block_rows: int, interpret: bool):
         qtag = qtag_ref[0]
         x = [x_refs[l][...] for l in range(L)]
         tag = tag_ref[...]
+        if pack:
+            tag = tag & 0xFF
         li = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 1)
         li = li * _LANES + cc
 
         mx = jnp.uint32(_MAXU)  # built inside the trace (no capture)
+        tag_mx = jnp.uint32(0xFF) if pack else mx
         neq = jnp.zeros((block_rows, _LANES), dtype=bool)
         sentinel = jnp.ones((block_rows, _LANES), dtype=bool)
         for l in range(L):
             prev = _prev_flat(x[l], carry[1 + l].astype(jnp.uint32), li, cc)
-            neq = neq | (prev != x[l])
+            cur = x[l]
+            if pack and l == L - 1:  # run grouping ignores the in-word tag
+                prev = prev & ~jnp.uint32(0xFF)
+                cur = cur & ~jnp.uint32(0xFF)
+            neq = neq | (prev != cur)
             sentinel = sentinel & (x[l] == mx)
         run_start = neq | ((g == 0) & (li == 0))
         typ = tag & 3
-        is_entry = ((typ == 1) | (typ == 3)) & (tag != mx) & ~sentinel
+        is_entry = ((typ == 1) | (typ == 3)) & (tag != tag_mx) & ~sentinel
         idx = g * TILE + li
         bits = jnp.where(
             is_entry,
@@ -177,7 +189,7 @@ def _scan_call(L: int, n_rows: int, block_rows: int, interpret: bool):
             kernel,
             grid=(G,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [spec] * (L + 1),
+            + [spec] * NCOL,
             out_specs=[out_spec] * 2,
             out_shape=[jax.ShapeDtypeStruct((1,), jnp.int32)] * 2,
             scratch_shapes=[pltpu.SMEM((NC,), jnp.int32)],
@@ -187,20 +199,22 @@ def _scan_call(L: int, n_rows: int, block_rows: int, interpret: bool):
     return run
 
 
-def slog_scan_counts_pallas(cols, qtag, interpret: bool = False):
+def slog_scan_counts_pallas(cols, qtag, pack: bool = False,
+                            interpret: bool = False):
     """(hits, live) int32 device scalars over slog columns (L word limbs +
-    1 tag column, each [n] uint32, n a multiple of 1024 and of the chosen
-    block).  hits counts rows with tag == `qtag` whose word is live at
-    their position; live counts distinct live words."""
+    1 tag column, or L packed-tag limbs with pack=True; each [n] uint32,
+    n a multiple of 1024 and of the chosen block).  hits counts rows with
+    tag == `qtag` whose word is live at their position; live counts
+    distinct live words."""
     cols = tuple(cols)
-    L = len(cols) - 1
+    L = len(cols) if pack else len(cols) - 1
     n = cols[0].shape[0]
     n_rows = n // _LANES
     block_rows = 256
     while n_rows % block_rows:
         block_rows //= 2
     assert block_rows >= 8, (n, block_rows)
-    run = _scan_call(L, n_rows, block_rows, interpret)
+    run = _scan_call(L, n_rows, block_rows, interpret, pack)
     cols2d = tuple(c.reshape(n_rows, _LANES) for c in cols)
     hits, live = run(cols2d, qtag)
     return hits[0], live[0]

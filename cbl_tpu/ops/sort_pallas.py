@@ -346,17 +346,24 @@ def merge_cols_pallas(cols_a, cols_b, t_log: int | None = None,
 _MIN_PALLAS_MERGE_N = 1 << 19
 
 
-def _merge_engages(mode: str, n: int, n_cols: int) -> bool:
+def _merge_engages(mode: str, n: int, n_cols: int,
+                   presorted: bool = False) -> bool:
     """Whether the Pallas merge path runs for an n-row combine of n_cols
-    columns.  Wide tuples need much larger n to win: K=59 (4 key limbs)
-    at 2^23 total rows measured SLOWER under the merge pass (session16:
-    query 31.6M/s vs 54.4M/s monolithic), while 2-3 column merges win
-    from the dynamic-fold sizes up (sessions 15/16)."""
+    columns.  Floors are measured (sessions 15/16/21): 2-3 column merges
+    win from the dynamic-fold sizes up.  Wide tuples split by whether
+    BOTH sides arrive sorted: a pure merge pass at L=4 2^23+2^23 runs
+    32.8ms vs 113.7ms lax (session21, 3.5x), so presorted wide merges
+    engage from 2^23 total; sort+merge combines (`merge_with_unsorted`)
+    keep the 2^25 floor — there the batch sort dominates and K=59
+    end-to-end measured slower below that (session16)."""
     if mode.endswith("-force"):
         return True
     if mode == "xla" or jax.default_backend() in ("cpu",):
         return False
-    floor = _MIN_PALLAS_MERGE_N if n_cols <= 3 else 1 << 25
+    if n_cols <= 3:
+        floor = _MIN_PALLAS_MERGE_N
+    else:
+        floor = (1 << 23) if presorted else (1 << 25)
     return n >= floor
 _MERGE_MODES = ("xla", "pallas", "pallas-force", "mergepath",
                 "mergepath-force")
@@ -419,7 +426,7 @@ def merge_sorted_pair(sorted_a, sorted_b):
     b = tuple(sorted_b)
     mode = _merge_mode()
     n = a[0].shape[0] + b[0].shape[0]
-    engage = _merge_engages(mode, n, len(a))
+    engage = _merge_engages(mode, n, len(a), presorted=True)
     if engage:
         interpret = jax.default_backend() in ("cpu",)
         if mode.startswith("mergepath"):

@@ -538,17 +538,14 @@ def _bulk_contains_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
 
 
 @lru_cache(maxsize=None)
-def _data_to_slog_fn(mesh: Mesh, C: int, L: int):
-    """[D, C, L] sorted shard slices -> [D, C, L+1] tagged slog slices
-    (valid rows = implicit seq-0 inserts, sentinel rows tag MAX)."""
+def _data_to_slog_fn(mesh: Mesh, C: int, L: int, pack: bool):
+    """[D, C, L] sorted shard slices -> [D, C, L(+1)] tagged slog slices
+    (valid rows = implicit seq-0 inserts; packed layout carries the tag
+    inside the word limbs, see wordset.slog_packed)."""
+    from ..wordset import _data_to_slog_cols
 
     def local(d):
-        rows = d[0]
-        sent = rows[:, 0] == _U32_MAX
-        for l in range(1, L):
-            sent = sent & (rows[:, l] == _U32_MAX)
-        tag = jnp.where(sent, _U32_MAX, jnp.uint32(1))
-        return jnp.concatenate([rows, tag[:, None]], axis=-1)[None]
+        return jnp.stack(_data_to_slog_cols(d[0], pack), axis=-1)[None]
 
     step = jax.shard_map(
         local, mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS),
@@ -558,16 +555,18 @@ def _data_to_slog_fn(mesh: Mesh, C: int, L: int):
 
 
 @lru_cache(maxsize=None)
-def _slog_fold_sharded_fn(cfg: CBLConfig, mesh: Mesh, S: int, C_out: int):
+def _slog_fold_sharded_fn(cfg: CBLConfig, mesh: Mesh, S: int, C_out: int,
+                          pack: bool):
     """Fold each shard's sorted-log slice back to a clean sorted data
     slice (wordset._slog_fold_kernel per shard) + exact distinct counts."""
     from ..wordset import _slog_fold_kernel
 
     L = cfg.word_limbs
+    ncol = L if pack else L + 1
 
     def local(slog):
-        cols = tuple(slog[0][:, i] for i in range(L + 1))
-        data, n_dev = _slog_fold_kernel(cols, C_out)
+        cols = tuple(slog[0][:, i] for i in range(ncol))
+        data, n_dev = _slog_fold_kernel(cols, C_out, pack)
         return data[None], n_dev[None]
 
     step = jax.shard_map(
@@ -580,26 +579,40 @@ def _slog_fold_sharded_fn(cfg: CBLConfig, mesh: Mesh, S: int, C_out: int):
 @lru_cache(maxsize=None)
 def _dyn_round_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
                        nk_i: int, nk_q: int, nk_r: int, S_in: int,
-                       S_out: int, cap_u: int, cap_q: int):
+                       S_out: int, cap_b: int):
     """One sharded interleaved dynamic round as ONE device program — the
     distributed analog of `cbl._fused_round_slog_fn` (same tag-sandwich
     semantics, `/root/reference/src/wordset/mod.rs:97-137`):
 
-    every device pipelines its slice of the three streams, tags its
-    insert/remove words (seq<<2|{1,3}), routes them to owner shards with
-    the tag riding as an all-to-all payload, sorts the received tagged
-    batch, and merges it into its shard's sorted-log slice with one
-    merge-path pass; the round's queries are routed the same way, joined
-    with a second merge pass, and the hit/live counts come back psum'd.
-    Round 3's ShardedCBL paid a full tagged sort of the whole index per
-    op here.  Returns (slog [D, S_out, L+1], total_q, hits, live,
-    dropped) with the scalar outputs replicated per shard."""
+    every device pipelines its slice of the three streams, tags every
+    word (seq<<2|{1=ins,2=qry,3=rm}; packed into the word limbs when the
+    config allows), sorts its combined batch, routes it to owner shards
+    with ONE all-to-all, re-sorts the received batch, merges it into the
+    shard's sorted-log slice with one merge-path pass, and scans once for
+    the round's psum'd hit/live counts.  Round 3's ShardedCBL paid a
+    full tagged sort of the whole index per op here.  Returns
+    (slog [D, S_out, ncol], total_q, hits, live, dropped) with the
+    scalar outputs replicated per shard."""
     from ..cbl import _device_words
-    from ..wordset import slog_counts_auto
+    from ..wordset import _shl8_or, slog_counts_auto, slog_packed
     from ..ops.sort_pallas import merge_sorted_pair
 
     D = mesh.devices.size
     L = cfg.word_limbs
+    pack = slog_packed(cfg)
+    ncol = L if pack else L + 1
+
+    def tagged_cols(words, n, typ, base):
+        sent = words[:, 0] == _U32_MAX
+        for l in range(1, L):
+            sent = sent & (words[:, l] == _U32_MAX)
+        cols = tuple(words[:, l] for l in range(L))
+        if pack:
+            tag = jnp.where(sent, jnp.uint32(0xFF), jnp.uint32(typ) | base)
+            return _shl8_or(cols, tag)
+        return cols + (
+            jnp.where(sent, _U32_MAX, jnp.uint32(typ) | base),
+        )
 
     def local_step(slog, st_i, s_i, e_i, st_q, s_q, e_q, st_r, s_r, e_r,
                    boundaries, seq):
@@ -609,40 +622,52 @@ def _dyn_round_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         )
         w_r, _ = _device_words(st_r[0], s_r[0], e_r[0], nk_r, cfg, canonical)
         base = seq.astype(jnp.uint32) << 2
-        rows_u = jnp.concatenate([w_i, w_r], axis=0)
-        tags_u = jnp.concatenate(
-            [jnp.full((nk_i,), 1, jnp.uint32),
-             jnp.full((nk_r,), 3, jnp.uint32)]
-        ) | base
-        sent_u = rows_u[:, 0] == _U32_MAX
-        for l in range(1, L):
-            sent_u = sent_u & (rows_u[:, l] == _U32_MAX)
-        tags_u = jnp.where(sent_u, _U32_MAX, tags_u)
-        su = sort_cols_auto(
-            tuple(rows_u[:, l] for l in range(L)) + (tags_u,)
+        qtag = base | jnp.uint32(2)
+        cat = tuple(
+            jnp.concatenate([a, b, c])
+            for a, b, c in zip(
+                tagged_cols(w_i, nk_i, 1, base),
+                tagged_cols(w_q, nk_q, 2, base),
+                tagged_cols(w_r, nk_r, 3, base),
+            )
         )
+        sb = sort_cols_auto(cat)
         if D == 1:
-            brows = jnp.stack(su[:L], axis=-1)
-            btags = su[L]
+            bs = sb
             dropped = jnp.int32(0)
-            bs = tuple(brows[:, l] for l in range(L)) + (btags,)
         else:
-            send, (ptags,), drop_u = _route_sorted(
-                jnp.stack(su[:L], axis=-1), boundaries, D, cap_u,
-                payload=(su[L],),
-            )
-            recv = jax.lax.all_to_all(
-                send, AXIS, split_axis=0, concat_axis=0, tiled=True
-            )
-            rtags = jax.lax.all_to_all(
-                ptags, AXIS, split_axis=0, concat_axis=0, tiled=True
-            )
-            rr = recv.reshape(D * cap_u, L)
-            bs = sort_cols_auto(
-                tuple(rr[:, l] for l in range(L)) + (rtags.reshape(-1),)
-            )
-            dropped = drop_u
-        a_cols = tuple(slog[0][:, i] for i in range(L + 1))
+            bnd = boundaries
+            if pack:
+                bnd = jnp.stack(
+                    _shl8_or(
+                        tuple(boundaries[:, l] for l in range(L)),
+                        jnp.zeros((boundaries.shape[0],), jnp.uint32),
+                    ),
+                    axis=-1,
+                )
+            if pack:
+                send, dropped = _route_sorted(
+                    jnp.stack(sb, axis=-1), bnd, D, cap_b
+                )
+                recv = jax.lax.all_to_all(
+                    send, AXIS, split_axis=0, concat_axis=0, tiled=True
+                ).reshape(D * cap_b, L)
+                bs = sort_cols_auto(tuple(recv[:, l] for l in range(L)))
+            else:
+                send, (ptags,), dropped = _route_sorted(
+                    jnp.stack(sb[:L], axis=-1), boundaries, D, cap_b,
+                    payload=(sb[L],),
+                )
+                recv = jax.lax.all_to_all(
+                    send, AXIS, split_axis=0, concat_axis=0, tiled=True
+                ).reshape(D * cap_b, L)
+                rtags = jax.lax.all_to_all(
+                    ptags, AXIS, split_axis=0, concat_axis=0, tiled=True
+                ).reshape(-1)
+                bs = sort_cols_auto(
+                    tuple(recv[:, l] for l in range(L)) + (rtags,)
+                )
+        a_cols = tuple(slog[0][:, i] for i in range(ncol))
         merged = merge_sorted_pair(a_cols, bs) if S_in else bs
         total = S_in + bs[0].shape[0]
         if total > S_out:
@@ -650,35 +675,14 @@ def _dyn_round_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         elif total < S_out:
             pad = jnp.full((S_out - total,), _U32_MAX, jnp.uint32)
             merged = tuple(jnp.concatenate([c, pad]) for c in merged)
-        # queries: route, tag on arrival (pads/sentinels -> MAX), join
-        qtag = base | jnp.uint32(2)
-        if D == 1:
-            qrows = w_q
-            dq = jnp.int32(0)
-        else:
-            sq = sort_cols_auto(tuple(w_q[:, l] for l in range(L)))
-            send_q, dq = _route_sorted(
-                jnp.stack(sq, axis=-1), boundaries, D, cap_q
-            )
-            qrows = jax.lax.all_to_all(
-                send_q, AXIS, split_axis=0, concat_axis=0, tiled=True
-            ).reshape(D * cap_q, L)
-        qvalid = ~(qrows[:, 0] == _U32_MAX)
-        for l in range(1, L):
-            qvalid = qvalid | (qrows[:, l] != _U32_MAX)
-        tags_q = jnp.where(qvalid, qtag, _U32_MAX)
-        qs = sort_cols_auto(
-            tuple(qrows[:, l] for l in range(L)) + (tags_q,)
-        )
-        j = merge_sorted_pair(merged, qs)
-        hits, live = slog_counts_auto(j, qtag)
+        hits, live = slog_counts_auto(merged, qtag, pack)
         out = jnp.stack(merged, axis=-1)
         return (
             out[None],
             jax.lax.psum(n_valid_q, AXIS)[None],
             jax.lax.psum(hits, AXIS)[None],
             jax.lax.psum(live, AXIS)[None],
-            jax.lax.psum(dropped + dq, AXIS)[None],
+            jax.lax.psum(dropped, AXIS)[None],
         )
 
     step = jax.shard_map(
@@ -1027,9 +1031,12 @@ class ShardedCBL:
         self._slog_dev = None
         self._slog_seq = 0
         self._slog_live_dev = None
+        from ..wordset import slog_packed
+
         c_out = max(_next_pow2(max(self._slog_real, 1)), MIN_CAP)
         self._slog_real = 0
-        fn = _slog_fold_sharded_fn(self.cfg, self.mesh, slog.shape[1], c_out)
+        fn = _slog_fold_sharded_fn(self.cfg, self.mesh, slog.shape[1], c_out,
+                                   slog_packed(self.cfg))
         self.data, counts = fn(slog)
         self.C = c_out
         self._dups = False
@@ -1055,28 +1062,28 @@ class ShardedCBL:
         nk_q, st_q, s_q, e_q = gq[0]
         nk_r, st_r, s_r, e_r = gr[0]
         self._maybe_init_boundaries_from_stream(nk_i, st_i, s_i, e_i)
+        from ..wordset import _SLOG_SEQ_MAX, _quantize_cap, slog_packed
+
+        if slog_packed(self.cfg) and self._slog_seq >= _SLOG_SEQ_MAX:
+            self._fold_slog()  # packed 8-bit tag caps round_seq at 63
         if self._slog_dev is None:
-            self._slog_dev = _data_to_slog_fn(self.mesh, self.C, self.L)(
-                self.data
-            )
+            self._slog_dev = _data_to_slog_fn(
+                self.mesh, self.C, self.L, slog_packed(self.cfg)
+            )(self.data)
             self._slog_real = min(
                 self._count_upper if not self._dups else self.C, self.C
             )
         S_in = self._slog_dev.shape[1]
-        cap_u = max(
-            4096, _next_pow2(max(1, 2 * (nk_i + nk_r) // self.D))
+        cap_b = max(
+            4096, _next_pow2(max(1, 2 * (nk_i + nk_q + nk_r) // self.D))
         )
-        cap_q = max(4096, _next_pow2(max(1, 2 * nk_q // self.D)))
-        grow = (nk_i + nk_r) if self.D == 1 else self.D * cap_u
+        grow = (nk_i + nk_q + nk_r) if self.D == 1 else self.D * cap_b
         new_real = self._slog_real + grow
-        S_out = (
-            S_in if new_real <= S_in
-            else max(_next_pow2(new_real), MIN_CAP)
-        )
+        S_out = S_in if new_real <= S_in else _quantize_cap(new_real)
         seq = self._slog_seq + 1
         fn = _dyn_round_step_fn(
             self.cfg, self.canonical, self.mesh, nk_i, nk_q, nk_r,
-            S_in, S_out, cap_u, cap_q,
+            S_in, S_out, cap_b,
         )
         slog, total, hits, live, dropped = fn(
             self._slog_dev,

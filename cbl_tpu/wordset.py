@@ -55,6 +55,19 @@ def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length() if n > 1 else 1
 
 
+def _quantize_cap(n: int, frac_log: int = 3) -> int:
+    """Capacity rounded UP to a 1/8-pow2 step (mantissa 8..16 over a
+    power of two, never below MIN_CAP, always a multiple of 4096 so the
+    Pallas scan kernel's tiling applies): <=12.5% sentinel padding with a
+    bounded family of shapes (~8 per octave), vs next_pow2's up-to-2x
+    padding or exact sizes' compile-per-call."""
+    if n <= MIN_CAP:
+        return MIN_CAP
+    k = max((n - 1).bit_length() - 1 - frac_log, 12)
+    step = 1 << k
+    return -(-n // step) * step
+
+
 def sort_rows(x):
     """Sort [N, L] rows ascending (lexicographic over limbs = numeric).
 
@@ -839,26 +852,83 @@ def _pending_override_kernel(pending, tags, queries):
 # --- sorted-log (slog) kernels: the interleaved-workload representation ---
 #
 # A slog is ONE (word, tag)-sorted column tuple (L word limbs + 1 tag
-# column) holding the WHOLE set state: every insert and remove of every
-# dynamic round, plus the pre-existing index rows (tag 1).  Tags are
+# column) holding the WHOLE set state: every insert, remove, and query of
+# every dynamic round, plus the pre-existing index rows (tag 1).  Tags are
 # (round_seq << 2) | type with type 1=insert, 2=query, 3=remove, so within
 # each equal-word run rows sit in operation order and a round's queries
-# carry a tag that sorts after its inserts but before its removes — the
-# reference's sequential per-op semantics
-# (`/root/reference/src/wordset/mod.rs:97-137`) fall out of the sort order
-# by construction.  Sentinel/blanked rows carry tag MAX.  Query rows are
-# only ever MERGED TRANSIENTLY for their round's hit scan (or a
-# mid-workload join) and never stored: the log holds zero ballast and
-# grows by the round's insert+remove rows only.  Each round costs one
-# lax.sort of its own batch + two merge-path passes + one prefix scan —
-# the index is never re-sorted and never folded mid-workload.  The stored
-# log lives at a geometric capacity (trailing sentinel rows) so round
-# programs recompile only when capacity grows, and an auto-fold bounds
-# its length at a small multiple of the live-set size (which also keeps
-# the scan's (idx << 2) int32 marker far from overflow).
+# sort after its inserts but before its removes — the reference's
+# sequential per-op semantics (`/root/reference/src/wordset/mod.rs:97-137`)
+# fall out of the sort order by construction.  Sentinel/blanked rows carry
+# tag MAX.  Each round costs two small merge passes (combining the three
+# pre-sorted streams) + ONE big merge pass into the log + one single-pass
+# scan — the index is never re-sorted and never folded mid-workload.
+# Query rows stay behind as inert ballast (type-2 rows are never entries);
+# session21 measured that evicting them with a second per-round merge
+# pass costs MORE than they do (every merge is O(log) regardless), so the
+# ballast is instead bounded by `maybe_autofold_slog`, which also bounds
+# memory and keeps the scan's (idx << 2) int32 marker far from overflow.
+# The stored log lives in the 1/8-step `_quantize_cap` capacity family
+# (trailing sentinel rows): <=12.5% padding and round programs are reused
+# until capacity actually grows (bounded jit variants, not one compile
+# per round).
+#
+# PACKED-TAG layout: when the word leaves >= 8 spare bits in its limbs
+# (`slog_packed(cfg)` — true for the K=25 flagship, 56 of 64 bits), the
+# tag rides IN the word: each row is (word << 8) | tag over the same L
+# limbs, no separate tag column.  (word, tag) lexicographic order is the
+# numeric order of the packed value, so every slog sort/merge/scan runs
+# on L columns instead of L+1 — one third less HBM traffic and VPU work
+# per round at L=2.  Sentinel rows stay all-ones exactly (their tag is
+# forced to 0xFF).  The 8-bit tag caps round_seq at 63; `dynamic_round`
+# folds the log before the cap.  Configs without spare bits (K=59: 125
+# of 128 bits) keep the separate tag column; every kernel below takes a
+# static `pack` flag.
 
 
-def _slog_scan(s, L: int):
+def slog_packed(cfg: CBLConfig) -> bool:
+    """True when the packed-tag slog layout applies to this config."""
+    return cfg.n_bits + 8 <= 32 * cfg.word_limbs
+
+
+_SLOG_SEQ_MAX = 63  # packed tag = (seq << 2) | typ must fit 8 bits
+
+
+def _shl8_or(rows_cols, tag):
+    """Pack word limb columns: (word << 8) | tag, big-endian limbs.
+    `tag` is a [n] uint32 (values < 256)."""
+    L = len(rows_cols)
+    out = []
+    for l in range(L):
+        v = rows_cols[l] << 8
+        if l + 1 < L:
+            v = v | (rows_cols[l + 1] >> 24)
+        else:
+            v = v | tag
+        out.append(v)
+    return tuple(out)
+
+
+def _shr8(rows):
+    """Unpack [n, L] packed rows back to word rows (drops the tag)."""
+    L = rows.shape[-1]
+    out = []
+    for l in range(L):
+        v = rows[:, l] >> 8
+        if l > 0:
+            v = v | (rows[:, l - 1] << 24)
+        out.append(v)
+    return jnp.stack(out, axis=-1)
+
+
+def _slog_tag(s, L: int, pack: bool):
+    return (s[L - 1] & jnp.uint32(0xFF)) if pack else s[L]
+
+
+def _slog_tag_max(pack: bool):
+    return jnp.uint32(0xFF) if pack else _U32_MAX
+
+
+def _slog_scan(s, L: int, pack: bool = False):
     """Shared prefix scan over (word, tag)-sorted slog columns.  Returns
     (neq [n-1], sentinel [n], live_here [n]) where live_here[i] means: the
     latest insert/remove ENTRY at-or-before i within i's word run is an
@@ -874,13 +944,18 @@ def _slog_scan(s, L: int):
     neq = s[0][1:] != s[0][:-1]
     sentinel = s[0] == _U32_MAX
     for l in range(1, L):
-        neq = neq | (s[l][1:] != s[l][:-1])
+        a, b = s[l][1:], s[l][:-1]
+        if pack and l == L - 1:  # mask the in-word tag for run grouping
+            a, b = a & ~jnp.uint32(0xFF), b & ~jnp.uint32(0xFF)
+        neq = neq | (a != b)
         sentinel = sentinel & (s[l] == _U32_MAX)
     run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
     idx = jnp.arange(n, dtype=jnp.int32)
-    tag = s[L]
+    tag = _slog_tag(s, L, pack)
     typ = tag & jnp.uint32(3)
-    is_entry = ((typ == 1) | (typ == 3)) & (tag != _U32_MAX) & ~sentinel
+    is_entry = ((typ == 1) | (typ == 3)) & (
+        tag != _slog_tag_max(pack)
+    ) & ~sentinel
     marker = jnp.where(
         run_start | is_entry,
         (idx << 2)
@@ -896,15 +971,15 @@ def _slog_scan(s, L: int):
     return neq, sentinel, live_here
 
 
-def _slog_hits(s, L: int, qtag):
+def _slog_hits(s, L: int, qtag, pack: bool = False):
     """Positive count over merged slog columns: query rows (tag == qtag)
     whose word is present at their sort position."""
-    _, sentinel, live_here = _slog_scan(s, L)
-    hit = (s[L] == qtag) & ~sentinel & live_here
+    _, sentinel, live_here = _slog_scan(s, L, pack)
+    hit = (_slog_tag(s, L, pack) == qtag) & ~sentinel & live_here
     return jnp.sum(hit.astype(jnp.int32))
 
 
-def slog_counts_auto(cols, qtag):
+def slog_counts_auto(cols, qtag, pack: bool = False):
     """(hits, live) int32 scalars over slog columns: hits = rows with tag
     == qtag whose word is live at their position; live = distinct live
     words.  On TPU at size, the single-HBM-pass Pallas scan kernel
@@ -914,13 +989,14 @@ def slog_counts_auto(cols, qtag):
     from .ops.scan_pallas import scan_engages, slog_scan_counts_pallas
 
     cols = tuple(cols)
-    L = len(cols) - 1
+    L = len(cols) if pack else len(cols) - 1
     n = cols[0].shape[0]
     if scan_engages(n):
         interpret = jax.default_backend() in ("cpu",)
-        return slog_scan_counts_pallas(cols, qtag, interpret=interpret)
-    neq, sentinel, live_here = _slog_scan(cols, L)
-    hit = (cols[L] == qtag) & ~sentinel & live_here
+        return slog_scan_counts_pallas(cols, qtag, pack=pack,
+                                       interpret=interpret)
+    neq, sentinel, live_here = _slog_scan(cols, L, pack)
+    hit = (_slog_tag(cols, L, pack) == qtag) & ~sentinel & live_here
     run_end = jnp.concatenate([neq, jnp.ones((1,), dtype=bool)])
     live = run_end & ~sentinel & live_here
     return (
@@ -929,49 +1005,59 @@ def slog_counts_auto(cols, qtag):
     )
 
 
-@jax.jit
-def _slog_count_kernel(cols):
+@partial(jax.jit, static_argnames=("pack",))
+def _slog_count_kernel(cols, pack: bool = False):
     """Distinct live words of a slog: word runs whose LAST entry is an
     insert (evaluated at each run's final row)."""
-    return slog_counts_auto(cols, jnp.uint32(_U32_MAX))[1]
+    return slog_counts_auto(cols, _slog_tag_max(pack), pack)[1]
 
 
-@jax.jit
-def _slog_join_count(cols, queries):
-    """Membership count of `queries` (unsorted [Q, L] rows) against a slog
-    without folding it: sort the queries (tag MAX — sorts after every log
-    entry of its word), one merge pass, one scan."""
-    L = len(cols) - 1
+@partial(jax.jit, static_argnames=("pack",))
+def _slog_join_count(cols, queries, pack: bool = False):
+    """Membership count of `queries` (unsorted [Q, L] word rows) against a
+    slog without folding it: sort the queries (tag MAX — sorts after every
+    log entry of its word), one merge pass, one scan."""
+    L = queries.shape[-1]
     Q = queries.shape[0]
-    s = merge_with_unsorted(
-        cols,
-        tuple(queries[:, l] for l in range(L))
-        + (jnp.full((Q,), _U32_MAX, jnp.uint32),),
-    )
-    return slog_counts_auto(s, jnp.uint32(_U32_MAX))[0]
+    qcols = tuple(queries[:, l] for l in range(L))
+    if pack:
+        qcols = _shl8_or(qcols, jnp.full((Q,), 0xFF, jnp.uint32))
+    else:
+        qcols = qcols + (jnp.full((Q,), _U32_MAX, jnp.uint32),)
+    s = merge_with_unsorted(cols, qcols)
+    return slog_counts_auto(s, _slog_tag_max(pack), pack)[0]
 
 
-@partial(jax.jit, static_argnames=("out_cap",))
-def _slog_fold_kernel(cols, out_cap: int):
+@partial(jax.jit, static_argnames=("out_cap", "pack"))
+def _slog_fold_kernel(cols, out_cap: int, pack: bool = False):
     """Fold a slog to a clean sorted index: keep each live run's final row
-    (its word), mark everything else sentinel, one compaction sort."""
-    L = len(cols) - 1
-    neq, sentinel, live_here = _slog_scan(cols, L)
+    (its word, unpacked), mark everything else sentinel, one compaction
+    sort."""
+    L = len(cols) if pack else len(cols) - 1
+    neq, sentinel, live_here = _slog_scan(cols, L, pack)
     run_end = jnp.concatenate([neq, jnp.ones((1,), dtype=bool)])
     keep = run_end & ~sentinel & live_here
     rows = jnp.stack(cols[:L], axis=1)
+    if pack:
+        rows = _shr8(rows)
     masked = jnp.where(keep[:, None], rows, _U32_MAX)
     return _compact_sort_kernel(masked, out_cap)
 
 
-@jax.jit
-def _data_entry_tags(rows):
-    """Tag column turning a sorted index array into slog A-side input:
-    valid rows are implicit seq-0 inserts (tag 1), sentinel rows tag MAX."""
+@partial(jax.jit, static_argnames=("pack",))
+def _data_to_slog_cols(rows, pack: bool = False):
+    """Turn a sorted index array into slog A-side columns: valid rows are
+    implicit seq-0 inserts (tag 1), sentinel rows stay all-ones.  Packed
+    layout shifts the tag into the word; unpacked appends a tag column."""
+    L = rows.shape[-1]
     sent = rows[:, 0] == _U32_MAX
-    for l in range(1, rows.shape[-1]):
+    for l in range(1, L):
         sent = sent & (rows[:, l] == _U32_MAX)
-    return jnp.where(sent, _U32_MAX, jnp.uint32(1))
+    cols = tuple(rows[:, l] for l in range(L))
+    if pack:
+        tag = jnp.where(sent, jnp.uint32(0xFF), jnp.uint32(1))
+        return _shl8_or(cols, tag)
+    return cols + (jnp.where(sent, _U32_MAX, jnp.uint32(1)),)
 
 
 class DeviceWordSet:
@@ -1028,6 +1114,9 @@ class DeviceWordSet:
         # synced): capacity/truncation choices and the auto-fold policy
         # depend only on this bound
         self._slog_real = 0
+        # packed-tag layout (tag inside the word limbs) when the config
+        # leaves >= 8 spare bits — see the slog kernel block above
+        self._slog_pack = slog_packed(cfg)
 
     @property
     def n(self) -> int:
@@ -1182,7 +1271,7 @@ class DeviceWordSet:
         self._slog_count_dev = None
         self._slog_real = 0
         out_cap = max(_next_pow2(max(self._n_upper, 1)), MIN_CAP)
-        self.data, n_dev = _slog_fold_kernel(cols, out_cap)
+        self.data, n_dev = _slog_fold_kernel(cols, out_cap, self._slog_pack)
         self.capacity = out_cap
         self._holes = False
         self._dups = False
@@ -1287,7 +1376,7 @@ class DeviceWordSet:
             if self.n_pending > 0:
                 self._fold_slog()  # rare mixed-API interleaving
             else:
-                return _slog_join_count(self._slog, words)
+                return _slog_join_count(self._slog, words, self._slog_pack)
         if self.n_pending > 0:
             eff = min(_next_pow2(self.n_pending), self.pending_cap)
             live = self._live()
@@ -1384,7 +1473,9 @@ class DeviceWordSet:
 
     def _slog_count(self):
         if self._slog_count_dev is None:
-            self._slog_count_dev = _slog_count_kernel(self._slog)
+            self._slog_count_dev = _slog_count_kernel(
+                self._slog, self._slog_pack
+            )
         return self._slog_count_dev
 
     def count_device(self):

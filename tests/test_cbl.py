@@ -540,12 +540,13 @@ def test_dynamic_round_canonical_matches_unfused():
     assert pos_f[0][1] == pos_f[0][0]
 
 
-def test_dynamic_round_log_is_ballast_free_and_capacity_bucketed():
-    """Round 4 slog contract: query rows never enter the stored log (its
-    real-row bound grows by insert+remove rows only) and the stored
-    capacity comes from a geometric family, so repeated same-shape rounds
-    reuse one compiled program instead of compiling per round."""
-    from cbl_tpu.wordset import MIN_CAP, _next_pow2
+def test_dynamic_round_capacity_quantized_and_words_memoized():
+    """Round 4 slog contract: the stored capacity comes from the 1/8-step
+    quantized family (bounded compile variants, <=12.5% padding) and a
+    stream re-used across rounds computes + sorts its words ONCE (the
+    PackedStream memo) — querying what an earlier round inserted adds no
+    pipeline or sort work."""
+    from cbl_tpu.wordset import _quantize_cap
 
     rng = np.random.default_rng(21)
     bases = 48_000
@@ -566,15 +567,16 @@ def test_dynamic_round_log_is_ballast_free_and_capacity_bucketed():
         idx.dynamic_round(segs[i], segs[i - 1 if i else 0], halves[i])
         nk_i = segs[i].slabs[0][0]
         nk_r = halves[i].slabs[0][0]
-        expect_real += nk_i + nk_r
+        expect_real += 2 * nk_i + nk_r  # insert + query (same pad) + remove
         assert ws._slog_real == expect_real
         cap = ws._slog[0].shape[0]
         assert cap >= expect_real
-        assert cap == max(_next_pow2(expect_real), MIN_CAP) or cap in caps
+        assert cap == _quantize_cap(expect_real) or cap in caps
         caps.append(cap)
-    # capacities form a geometric family: few distinct values, reused
-    assert len(set(caps)) < SEGS
-    # the stored log really holds only ins+rm rows: fold and check count
+        # the memo holds every touched stream's SORTED words
+        assert segs[i]._words[0][2] is True
+        assert halves[i]._words[0][2] is True
+    # the stored log folds to the exact same set
     n = idx.count()
     ws.flush()
     assert ws._slog is None and idx.count() == n
@@ -608,7 +610,8 @@ def test_slog_autofold_bounds_memory():
     from cbl_tpu.wordset import _next_pow2
 
     per_round = sum(s[0] for s in (
-        idx.pack_stream(codes, off).slabs + idx.pack_stream(miss, off_m).slabs
+        2 * idx.pack_stream(codes, off).slabs
+        + idx.pack_stream(miss, off_m).slabs
     ))
     assert ws._slog_real <= ws._SLOG_FOLD_MULT * _next_pow2(
         max(ws._n_upper, 1)
@@ -647,3 +650,41 @@ def test_dynamic_rounds_then_serde_and_algebra():
         tuple(w) for w in other.wordset.words_array()
     }
     assert got_u == want_u
+
+
+def test_dynamic_round_largek_unpacked_slog():
+    """K=59 leaves only 3 spare bits, so its slog keeps the separate tag
+    column (wordset.slog_packed False) — the unpacked path must stay
+    exact through fused rounds, mid-count, and the fold."""
+    from cbl_tpu.wordset import slog_packed
+
+    rng = np.random.default_rng(41)
+    k = 59
+    sb = 4_000
+    codes = rng.integers(0, 4, size=3 * sb, dtype=np.uint8)
+    off = np.array([0, sb], dtype=np.int64)
+    idx = CBL(k=k, prefix_bits=28)
+    assert not slog_packed(idx.cfg)
+
+    def run(fused):
+        i2 = CBL(k=k, prefix_bits=28)
+        out = []
+        for r in range(3):
+            seg = codes[r * sb:(r + 1) * sb]
+            qry = codes[max(r - 1, 0) * sb:(max(r - 1, 0) + 1) * sb]
+            rm = codes[r * sb + sb // 2:(r + 1) * sb + sb // 2] \
+                if r < 2 else codes[:sb]
+            if fused:
+                out.append(i2.dynamic_round((seg, off), (qry, off),
+                                            (rm, off)))
+            else:
+                i2.insert_codes_stream(seg, off)
+                out.append(i2.query_codes_stream(qry, off))
+                i2.remove_codes_stream(rm, off)
+            out.append(i2.count())
+        return out, sorted(map(tuple, i2.wordset.words_array().tolist()))
+
+    got, words_f = run(True)
+    want, words_u = run(False)
+    assert got == want
+    assert words_f == words_u

@@ -134,3 +134,40 @@ def test_slog_counts_auto_forced_pallas_matches():
     finally:
         del os.environ["CBL_TPU_SLOG_SCAN"]
     assert (int(h), int(lv)) == want
+
+
+@pytest.mark.parametrize("n", [1024, 65536])
+def test_scan_kernel_packed_layout(n):
+    """Packed-tag layout (tag in the low 8 bits of the last limb): kernel
+    and XLA scan must agree; run grouping must ignore the tag bits."""
+    from cbl_tpu.wordset import _shl8_or, _slog_scan, _slog_tag
+
+    rng = np.random.default_rng(n)
+    L = 2
+    words = np.sort(rng.integers(0, n // 16, size=n).astype(np.uint64) * 131)
+    c0 = (words >> 32).astype(np.uint32)
+    c1 = (words & 0xFFFFFFFF).astype(np.uint32)
+    typ = rng.choice([1, 2, 3], size=n).astype(np.uint32)
+    seq = rng.integers(0, 8, size=n).astype(np.uint32)
+    tag = (seq << 2) | typ
+    ns = n // 8
+    c0[-ns:] = 0xFFFFFFFF
+    c1[-ns:] = 0xFFFFFFFF
+    tag[-ns:] = 0xFF
+    packed = np.stack(
+        [np.asarray(x) for x in _shl8_or(
+            (jnp.asarray(c0), jnp.asarray(c1)), jnp.asarray(tag))],
+        axis=-1,
+    )
+    order = np.lexsort((packed[:, 1], packed[:, 0]))
+    cols = tuple(jnp.asarray(packed[order, l].copy()) for l in range(L))
+    qt = np.uint32((3 << 2) | 2)
+    # XLA oracle in packed mode
+    neq, sent, live = _slog_scan(cols, L, pack=True)
+    hit = (_slog_tag(cols, L, True) == qt) & ~sent & live
+    run_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    want = (int(jnp.sum(hit.astype(jnp.int32))),
+            int(jnp.sum((run_end & ~sent & live).astype(jnp.int32))))
+    h, lv = slog_scan_counts_pallas(cols, qt, pack=True, interpret=True)
+    assert (int(h), int(lv)) == want
+    assert want[1] > 0
