@@ -330,13 +330,13 @@ def run_tpu_sharded_dynamic(codes: np.ndarray, repeats: int,
         t0 = time.time()
         ops = 0
         pos_dev = None
+        segs = [idx.pack_stream(codes[i * sb:(i + 1) * sb], off1)
+                for i in range(SEGS)]
+        halves = [idx.pack_stream(codes[i * sb:i * sb + sb // 2], off_h)
+                  for i in range(SEGS)]
         for i in range(SEGS):
-            q0 = (i - 1 if i else 0) * sb
             t, p = idx.dynamic_round(
-                (codes[i * sb:(i + 1) * sb], off1),
-                (codes[q0:q0 + sb], off1),
-                (codes[i * sb:i * sb + sb // 2], off_h),
-                lazy=True,
+                segs[i], segs[i - 1 if i else 0], halves[i], lazy=True,
             )
             pos_dev = p if pos_dev is None else pos_dev + p
             ops += 2 * (sb - k + 1) + sb // 2 - k + 1

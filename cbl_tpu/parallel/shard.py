@@ -577,23 +577,59 @@ def _slog_fold_sharded_fn(cfg: CBLConfig, mesh: Mesh, S: int, C_out: int,
 
 
 @lru_cache(maxsize=None)
-def _dyn_round_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
+def _sorted_words_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
+                     nk_sub: int):
+    """Per-device pipeline + local sort of one sub-slab group:
+    ([D, Sw], [D, S], [D, S]) -> ([D, nk_sub, L] sorted words,
+    [D] psum'd valid count).  Memoized per ShardedStream — the sharded
+    analog of the PackedStream sorted-words memo."""
+    from ..cbl import _device_words
+
+    def local(stream, starts, ends):
+        w, nv = _device_words(
+            stream[0], starts[0], ends[0], nk_sub, cfg, canonical
+        )
+        return sort_rows(w)[None], jax.lax.psum(nv, AXIS)[None]
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS),) * 3, out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+class ShardedStream:
+    """A record stream staged for a ShardedCBL: per-device sub-slab
+    groups already on the mesh, plus a memo of each group's SORTED word
+    slices — repeated passes (a dynamic round querying what an earlier
+    round inserted) pay the pipeline and the sort once."""
+
+    def __init__(self, key, groups):
+        self.key = key  # (cfg, canonical, mesh id) compatibility check
+        self.groups = groups  # [(nk_sub, stream_dev, starts_dev, ends_dev)]
+        self._words: dict = {}
+
+
+@lru_cache(maxsize=None)
+def _dyn_round_step_fn(cfg: CBLConfig, mesh: Mesh,
                        nk_i: int, nk_q: int, nk_r: int, S_in: int,
                        S_out: int, cap_b: int):
     """One sharded interleaved dynamic round as ONE device program — the
     distributed analog of `cbl._fused_round_slog_fn` (same tag-sandwich
     semantics, `/root/reference/src/wordset/mod.rs:97-137`):
 
-    every device pipelines its slice of the three streams, tags every
-    word (seq<<2|{1=ins,2=qry,3=rm}; packed into the word limbs when the
-    config allows), sorts its combined batch, routes it to owner shards
-    with ONE all-to-all, re-sorts the received batch, merges it into the
-    shard's sorted-log slice with one merge-path pass, and scans once for
-    the round's psum'd hit/live counts.  Round 3's ShardedCBL paid a
-    full tagged sort of the whole index per op here.  Returns
-    (slog [D, S_out, ncol], total_q, hits, live, dropped) with the
+    every device takes its slice of the three streams' PRE-SORTED words
+    (the ShardedStream memo — re-used streams never re-run the pipeline
+    or re-sort), tags each with its constant (seq<<2|{1=ins,2=qry,3=rm};
+    packed into the word limbs when the config allows), combines them
+    with two small merge-path passes, routes the combined sorted batch
+    to owner shards with ONE all-to-all, re-sorts the received batch,
+    merges it into the shard's sorted-log slice with one merge-path
+    pass, and scans once for the round's psum'd hit/live counts.  Round
+    3's ShardedCBL paid a full tagged sort of the whole index per op
+    here.  Returns (slog [D, S_out, ncol], hits, live, dropped) with the
     scalar outputs replicated per shard."""
-    from ..cbl import _device_words
     from ..wordset import _shl8_or, slog_counts_auto, slog_packed
     from ..ops.sort_pallas import merge_sorted_pair
 
@@ -614,24 +650,14 @@ def _dyn_round_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
             jnp.where(sent, _U32_MAX, jnp.uint32(typ) | base),
         )
 
-    def local_step(slog, st_i, s_i, e_i, st_q, s_q, e_q, st_r, s_r, e_r,
-                   boundaries, seq):
-        w_i, _ = _device_words(st_i[0], s_i[0], e_i[0], nk_i, cfg, canonical)
-        w_q, n_valid_q = _device_words(
-            st_q[0], s_q[0], e_q[0], nk_q, cfg, canonical
-        )
-        w_r, _ = _device_words(st_r[0], s_r[0], e_r[0], nk_r, cfg, canonical)
+    def local_step(slog, w_i, w_q, w_r, boundaries, seq):
         base = seq.astype(jnp.uint32) << 2
         qtag = base | jnp.uint32(2)
-        cat = tuple(
-            jnp.concatenate([a, b, c])
-            for a, b, c in zip(
-                tagged_cols(w_i, nk_i, 1, base),
-                tagged_cols(w_q, nk_q, 2, base),
-                tagged_cols(w_r, nk_r, 3, base),
-            )
+        sb = merge_sorted_pair(
+            tagged_cols(w_i[0], nk_i, 1, base),
+            tagged_cols(w_q[0], nk_q, 2, base),
         )
-        sb = sort_cols_auto(cat)
+        sb = merge_sorted_pair(sb, tagged_cols(w_r[0], nk_r, 3, base))
         if D == 1:
             bs = sb
             dropped = jnp.int32(0)
@@ -679,7 +705,6 @@ def _dyn_round_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         out = jnp.stack(merged, axis=-1)
         return (
             out[None],
-            jax.lax.psum(n_valid_q, AXIS)[None],
             jax.lax.psum(hits, AXIS)[None],
             jax.lax.psum(live, AXIS)[None],
             jax.lax.psum(dropped, AXIS)[None],
@@ -688,8 +713,8 @@ def _dyn_round_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
     step = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(AXIS),) + (P(AXIS),) * 9 + (P(), P()),
-        out_specs=(P(AXIS),) * 5,
+        in_specs=(P(AXIS),) * 4 + (P(), P()),
+        out_specs=(P(AXIS),) * 4,
         check_vma=False,
     )
     return jax.jit(step, donate_argnums=(0,))
@@ -1042,26 +1067,83 @@ class ShardedCBL:
         self._dups = False
         self._set_counts_dev(counts, c_out)
 
+    def pack_stream(self, codes: np.ndarray, offsets: np.ndarray) -> "ShardedStream":
+        """Stage a record stream's per-device sub-slab groups on the mesh
+        once; dynamic rounds then reuse the staged arrays AND the memo of
+        sorted per-device words across rounds (the sharded analog of
+        `CBL.pack_stream`)."""
+        groups = []
+        host0 = None
+        for nk_sub, stream, starts, ends in self._sub_slab_groups(
+            codes, offsets
+        ):
+            if host0 is None:
+                host0 = (nk_sub, stream, starts, ends)
+            groups.append((
+                nk_sub,
+                self._put_rows(stream),
+                self._put_rows(starts),
+                self._put_rows(ends),
+            ))
+        ss = ShardedStream((self.cfg, self.canonical, id(self.mesh)), groups)
+        ss._host0 = host0
+        return ss
+
+    def _resolve_sharded_stream(self, x) -> "ShardedStream":
+        if isinstance(x, ShardedStream):
+            if x.key != (self.cfg, self.canonical, id(self.mesh)):
+                raise ValueError("ShardedStream built for a different "
+                                 "config/mesh")
+            return x
+        return self.pack_stream(*x)
+
+    def _stream_sorted_words(self, ss: "ShardedStream"):
+        """([D, nk, L] sorted per-device words, [D] psum'd valid count)
+        of a single-group staged stream, memoized."""
+        cached = ss._words.get(0)
+        if cached is None:
+            nk_sub, stream, starts, ends = ss.groups[0]
+            cached = _sorted_words_fn(
+                self.cfg, self.canonical, self.mesh, nk_sub
+            )(stream, starts, ends)
+            ss._words[0] = cached
+        return cached
+
     def dynamic_round(self, ins, qry, rm, lazy: bool = False):
         """One interleaved round over the mesh — insert every k-mer of
         `ins`, count-query `qry` (sees the inserts, not the removes),
         remove every k-mer of `rm` — as ONE sharded device program when
         each stream fits a single sub-slab group (`_dyn_round_step_fn`);
-        otherwise the separate bulk calls.  Args are (codes, offsets)
-        tuples; returns (total, positive)."""
+        otherwise the separate bulk calls.  Args are ShardedStreams (see
+        `pack_stream`) or (codes, offsets) tuples; returns
+        (total, positive)."""
         self._check_dropped()
-        gi = list(self._sub_slab_groups(*ins))
-        gq = list(self._sub_slab_groups(*qry))
-        gr = list(self._sub_slab_groups(*rm))
-        if len(gi) != 1 or len(gq) != 1 or len(gr) != 1:
+        fallback = None
+        if not isinstance(ins, ShardedStream) and len(
+            list(self._sub_slab_groups(*ins))
+        ) != 1:
+            fallback = True
+        ps_i = self._resolve_sharded_stream(ins)
+        ps_q = self._resolve_sharded_stream(qry)
+        ps_r = self._resolve_sharded_stream(rm)
+        if fallback or any(
+            len(p.groups) != 1 for p in (ps_i, ps_q, ps_r)
+        ):
+            if not (isinstance(ins, tuple) and isinstance(qry, tuple)
+                    and isinstance(rm, tuple)):
+                raise ValueError(
+                    "multi-group dynamic_round needs (codes, offsets) "
+                    "tuples (bulk fallback)"
+                )
             self.insert_codes_stream(*ins)
             t, p = self.query_codes_stream(*qry)
             self.remove_codes_stream(*rm)
             return t, p
-        nk_i, st_i, s_i, e_i = gi[0]
-        nk_q, st_q, s_q, e_q = gq[0]
-        nk_r, st_r, s_r, e_r = gr[0]
-        self._maybe_init_boundaries_from_stream(nk_i, st_i, s_i, e_i)
+        self._maybe_init_boundaries_from_stream(*ps_i._host0)
+        w_i, _ = self._stream_sorted_words(ps_i)
+        w_q, nv_q = self._stream_sorted_words(ps_q)
+        w_r, _ = self._stream_sorted_words(ps_r)
+        nk_i, nk_q, nk_r = (w.shape[1] for w in (w_i, w_q, w_r))
         from ..wordset import _SLOG_SEQ_MAX, _quantize_cap, slog_packed
 
         if slog_packed(self.cfg) and self._slog_seq >= _SLOG_SEQ_MAX:
@@ -1082,14 +1164,10 @@ class ShardedCBL:
         S_out = S_in if new_real <= S_in else _quantize_cap(new_real)
         seq = self._slog_seq + 1
         fn = _dyn_round_step_fn(
-            self.cfg, self.canonical, self.mesh, nk_i, nk_q, nk_r,
-            S_in, S_out, cap_b,
+            self.cfg, self.mesh, nk_i, nk_q, nk_r, S_in, S_out, cap_b,
         )
-        slog, total, hits, live, dropped = fn(
-            self._slog_dev,
-            self._put_rows(st_i), self._put_rows(s_i), self._put_rows(e_i),
-            self._put_rows(st_q), self._put_rows(s_q), self._put_rows(e_q),
-            self._put_rows(st_r), self._put_rows(s_r), self._put_rows(e_r),
+        slog, hits, live, dropped = fn(
+            self._slog_dev, w_i, w_q, w_r,
             jnp.asarray(self.boundaries), np.uint32(seq),
         )
         self._slog_dev = slog
@@ -1103,8 +1181,8 @@ class ShardedCBL:
                 else self._dropped_dev + dropped
             )
         if lazy:
-            return total, hits
-        t, p = (int(x[0]) for x in jax.device_get((total, hits)))
+            return nv_q, hits
+        t, p = (int(x[0]) for x in jax.device_get((nv_q, hits)))
         return t, p
 
     def _ensure_capacity(self, incoming_per_shard: int) -> None:

@@ -582,3 +582,37 @@ def test_sharded_dynamic_then_mixed_api():
     np.testing.assert_array_equal(
         x.words_array(), single.wordset.words_array()
     )
+
+
+def test_sharded_stream_staging_and_memo():
+    """ShardedCBL.pack_stream: staged streams reused across rounds compute
+    their sorted words once; results equal the tuple path exactly."""
+    mesh8 = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(91)
+    bases = 24_000
+    codes = rng.integers(0, 4, size=bases, dtype=np.uint8)
+    sb = bases // 3
+    off = np.array([0, sb], dtype=np.int64)
+
+    a = ShardedCBL(k=25, mesh=mesh8, batch_per_device=512)
+    segs = [a.pack_stream(codes[i * sb:(i + 1) * sb], off) for i in range(3)]
+    got = []
+    for i in range(3):
+        got.append(a.dynamic_round(segs[i], segs[i - 1 if i else 0],
+                                   segs[0]))
+        assert 0 in segs[i]._words  # memo populated
+    b = ShardedCBL(k=25, mesh=mesh8, batch_per_device=512)
+    want = []
+    for i in range(3):
+        q0 = (i - 1 if i else 0) * sb
+        want.append(b.dynamic_round(
+            (codes[i * sb:(i + 1) * sb], off),
+            (codes[q0:q0 + sb], off),
+            (codes[:sb], off)))
+    assert got == want
+    np.testing.assert_array_equal(a.words_array(), b.words_array())
+    # mismatched config is rejected
+    other = ShardedCBL(k=25, canonical=True, mesh=mesh8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different"):
+        other.dynamic_round(segs[0], segs[0], segs[0])
