@@ -314,13 +314,15 @@ def _pad_cols(cols, n_to: int):
 
 
 def _merge_tile_log(n_cols: int = 2) -> int:
-    """Default 15: largest measured tile wins on v5e (session15 merge
-    2^25+2^25 L=2: 54/56/65ms for t=15/14/13; L=4 t=15 verified).
-    Wide tuples shrink the tile: 5+ columns at t=15 crashed the Mosaic
-    compiler (session16)."""
+    """Largest measured tile wins on v5e: t=16 edges t=15 for 2-column
+    merges (session24: 40.5 vs 41.5ms at 2^25+2^25; session15 had
+    54/56/65ms for t=15/14/13), t=15 verified through L=4; 5+ columns at
+    t=15 crashed the Mosaic compiler (session16)."""
     env = os.environ.get("CBL_TPU_MERGE_TLOG")
     if env:
         return int(env)
+    if n_cols <= 2:
+        return 16
     return 15 if n_cols <= 4 else 13
 
 

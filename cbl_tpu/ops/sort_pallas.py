@@ -65,10 +65,18 @@ def _rows_eq(a, b):
     return eq
 
 
+def _sel_mode() -> str:
+    return os.environ.get("CBL_TPU_SEL", "mask")
+
+
 def _sel(cond, a, b):
-    """Elementwise `cond ? a : b` via bitwise masks (Mosaic rejects the
-    i1-predicate vector select over rolled operands with an unsupported
-    i8->i1 truncation; two's-complement masks sidestep predicates)."""
+    """Elementwise `cond ? a : b`.  Default: bitwise masks (round-1
+    Mosaic rejected the i1-predicate vector select over rolled operands
+    with an unsupported i8->i1 truncation; two's-complement masks
+    sidestep predicates — 4 ops).  CBL_TPU_SEL=where tries the native
+    predicated select (1 op) for A/B timing on newer Mosaic."""
+    if _sel_mode() == "where":
+        return jnp.where(cond, a, b)
     m = jnp.zeros((), a.dtype) - cond.astype(a.dtype)  # 0 or all-ones
     return (a & m) | (b & ~m)
 
