@@ -688,3 +688,76 @@ def test_dynamic_round_largek_unpacked_slog():
     want, words_u = run(False)
     assert got == want
     assert words_f == words_u
+
+
+def test_dynamic_round_randomized_fuzz_vs_set_oracle():
+    """Adversarial interleaving fuzz: 12 rounds of randomly-sized,
+    randomly-overlapping insert/query/remove streams checked against a
+    host python-set oracle round by round (positives, live count) and at
+    the end (exact word set)."""
+    rng = np.random.default_rng(99)
+    k = 25
+    pool = rng.integers(0, 4, size=60_000, dtype=np.uint8)
+    idx = CBL(k=k)
+    oracle = set()
+
+    def words_of(c):
+        i2 = CBL(k=k)
+        i2.insert_codes_stream(c, np.array([0, len(c)], dtype=np.int64))
+        return [tuple(w) for w in i2.wordset.words_array()]
+
+    for r in range(12):
+        ni, nq, nr = (int(rng.integers(k + 5, 6_000)) for _ in range(3))
+        si, sq, sr = (int(rng.integers(0, len(pool) - n))
+                      for n in (ni, nq, nr))
+        ins = pool[si:si + ni]
+        qry = pool[sq:sq + nq]
+        rm = pool[sr:sr + nr]
+        wi, wq, wr = words_of(ins), words_of(qry), words_of(rm)
+        oracle |= set(wi)
+        expect_pos = sum(1 for w in wq if w in oracle)
+        t, p = idx.dynamic_round(
+            (ins, np.array([0, ni], dtype=np.int64)),
+            (qry, np.array([0, nq], dtype=np.int64)),
+            (rm, np.array([0, nr], dtype=np.int64)),
+        )
+        assert (t, p) == (len(wq), expect_pos), r
+        oracle -= set(wr)
+        assert idx.count() == len(oracle), r
+    got = set(map(tuple, idx.wordset.words_array()))
+    assert got == oracle
+
+
+def test_packed_slog_seq_cap_forces_fold():
+    """The packed 8-bit tag caps round_seq at 63: a 70-round workload must
+    fold transparently at the cap and stay exact."""
+    from cbl_tpu.wordset import _SLOG_SEQ_MAX
+
+    rng = np.random.default_rng(100)
+    k = 25
+    sb = 200
+    codes = rng.integers(0, 4, size=sb * 4, dtype=np.uint8)
+    off = np.array([0, sb], dtype=np.int64)
+    idx = CBL(k=k)
+    ws = idx.wordset
+    seqs = []
+    for r in range(70):
+        s0 = (r * 37) % (3 * sb)
+        idx.dynamic_round(
+            (codes[s0:s0 + sb], off), (codes[:sb], off),
+            (codes[s0 // 2:s0 // 2 + sb], off),
+        )
+        seqs.append(ws._slog_seq)
+        assert ws._slog_seq <= _SLOG_SEQ_MAX
+    assert max(seqs) == _SLOG_SEQ_MAX  # the cap was actually reached
+    assert min(seqs[_SLOG_SEQ_MAX:]) < _SLOG_SEQ_MAX  # fold reset it
+    # exactness after the cap-fold: rebuild the same workload unfused
+    other = CBL(k=k)
+    for r in range(70):
+        s0 = (r * 37) % (3 * sb)
+        other.insert_codes_stream(codes[s0:s0 + sb], off)
+        other.remove_codes_stream(codes[s0 // 2:s0 // 2 + sb], off)
+    assert idx.count() == other.count()
+    np.testing.assert_array_equal(
+        idx.wordset.words_array(), other.wordset.words_array()
+    )
