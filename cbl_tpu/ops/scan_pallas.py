@@ -16,7 +16,7 @@ one lane roll + one sublane roll per limb), prefix-max it in linear
 with the carried running max, and accumulate both counters:
 
 - hits  = rows whose tag equals `qtag` that are live at their position
-          (the round's positive-query count, `_slog_hits`);
+          (the round's positive-query count);
 - live  = word runs whose final entry is an insert
           (the distinct-count scan, `_slog_count_kernel`), with run ends
           resolved one tile late through the carry (a run's last row is

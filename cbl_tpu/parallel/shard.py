@@ -806,15 +806,6 @@ def _union_many_fn(cfg: CBLConfig, mesh: Mesh, Cs: tuple, Cout: int):
 
 
 @lru_cache(maxsize=None)
-def _count_fn(mesh: Mesh):
-    def local(counts):
-        return jax.lax.psum(counts, AXIS)
-
-    return jax.jit(
-        jax.shard_map(local, mesh=mesh, in_specs=P(AXIS), out_specs=P())
-    )
-
-
 @lru_cache(maxsize=None)
 def _gather_counts_fn(mesh: Mesh):
     """[D] shard-counts (sharded on d) -> [D] fully replicated, so every

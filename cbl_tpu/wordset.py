@@ -971,14 +971,6 @@ def _slog_scan(s, L: int, pack: bool = False):
     return neq, sentinel, live_here
 
 
-def _slog_hits(s, L: int, qtag, pack: bool = False):
-    """Positive count over merged slog columns: query rows (tag == qtag)
-    whose word is present at their sort position."""
-    _, sentinel, live_here = _slog_scan(s, L, pack)
-    hit = (_slog_tag(s, L, pack) == qtag) & ~sentinel & live_here
-    return jnp.sum(hit.astype(jnp.int32))
-
-
 def slog_counts_auto(cols, qtag, pack: bool = False):
     """(hits, live) int32 scalars over slog columns: hits = rows with tag
     == qtag whose word is live at their position; live = distinct live
