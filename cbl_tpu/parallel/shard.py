@@ -539,17 +539,20 @@ def _bulk_contains_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
 
 @lru_cache(maxsize=None)
 def _data_to_slog_fn(mesh: Mesh, C: int, L: int, pack: bool):
-    """[D, C, L] sorted shard slices -> [D, C, L(+1)] tagged slog slices
-    (valid rows = implicit seq-0 inserts; packed layout carries the tag
-    inside the word limbs, see wordset.slog_packed)."""
+    """[D, C, L] sorted shard slices -> ncol COLUMNAR [D, C] tagged slog
+    slices (valid rows = implicit seq-0 inserts; packed layout carries
+    the tag inside the word limbs, see wordset.slog_packed).  Columnar
+    state avoids an interleave/de-interleave transpose of the whole log
+    every round and lets the round donate each column buffer."""
     from ..wordset import _data_to_slog_cols
 
     def local(d):
-        return jnp.stack(_data_to_slog_cols(d[0], pack), axis=-1)[None]
+        return tuple(c[None] for c in _data_to_slog_cols(d[0], pack))
 
+    ncol = L if pack else L + 1
     step = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS),
-        check_vma=False,
+        local, mesh=mesh, in_specs=(P(AXIS),),
+        out_specs=(P(AXIS),) * ncol, check_vma=False,
     )
     return jax.jit(step)
 
@@ -557,20 +560,20 @@ def _data_to_slog_fn(mesh: Mesh, C: int, L: int, pack: bool):
 @lru_cache(maxsize=None)
 def _slog_fold_sharded_fn(cfg: CBLConfig, mesh: Mesh, S: int, C_out: int,
                           pack: bool):
-    """Fold each shard's sorted-log slice back to a clean sorted data
+    """Fold each shard's sorted-log columns back to a clean sorted data
     slice (wordset._slog_fold_kernel per shard) + exact distinct counts."""
     from ..wordset import _slog_fold_kernel
 
     L = cfg.word_limbs
     ncol = L if pack else L + 1
 
-    def local(slog):
-        cols = tuple(slog[0][:, i] for i in range(ncol))
+    def local(*slog_cols):
+        cols = tuple(c[0] for c in slog_cols)
         data, n_dev = _slog_fold_kernel(cols, C_out, pack)
         return data[None], n_dev[None]
 
     step = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(AXIS),),
+        local, mesh=mesh, in_specs=(P(AXIS),) * ncol,
         out_specs=(P(AXIS), P(AXIS)), check_vma=False,
     )
     return jax.jit(step)
@@ -650,7 +653,7 @@ def _dyn_round_step_fn(cfg: CBLConfig, mesh: Mesh,
             jnp.where(sent, _U32_MAX, jnp.uint32(typ) | base),
         )
 
-    def local_step(slog, w_i, w_q, w_r, boundaries, seq):
+    def local_step(w_i, w_q, w_r, boundaries, seq, *slog_cols):
         base = seq.astype(jnp.uint32) << 2
         qtag = base | jnp.uint32(2)
         sb = merge_sorted_pair(
@@ -693,7 +696,7 @@ def _dyn_round_step_fn(cfg: CBLConfig, mesh: Mesh,
                 bs = sort_cols_auto(
                     tuple(recv[:, l] for l in range(L)) + (rtags,)
                 )
-        a_cols = tuple(slog[0][:, i] for i in range(ncol))
+        a_cols = tuple(c[0] for c in slog_cols)
         merged = merge_sorted_pair(a_cols, bs) if S_in else bs
         total = S_in + bs[0].shape[0]
         if total > S_out:
@@ -702,9 +705,7 @@ def _dyn_round_step_fn(cfg: CBLConfig, mesh: Mesh,
             pad = jnp.full((S_out - total,), _U32_MAX, jnp.uint32)
             merged = tuple(jnp.concatenate([c, pad]) for c in merged)
         hits, live = slog_counts_auto(merged, qtag, pack)
-        out = jnp.stack(merged, axis=-1)
-        return (
-            out[None],
+        return tuple(c[None] for c in merged) + (
             jax.lax.psum(hits, AXIS)[None],
             jax.lax.psum(live, AXIS)[None],
             jax.lax.psum(dropped, AXIS)[None],
@@ -713,11 +714,11 @@ def _dyn_round_step_fn(cfg: CBLConfig, mesh: Mesh,
     step = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(AXIS),) * 4 + (P(), P()),
-        out_specs=(P(AXIS),) * 4,
+        in_specs=(P(AXIS),) * 3 + (P(), P()) + (P(AXIS),) * ncol,
+        out_specs=(P(AXIS),) * (ncol + 3),
         check_vma=False,
     )
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=tuple(range(5, 5 + ncol)))
 
 
 @lru_cache(maxsize=None)
@@ -1051,9 +1052,9 @@ class ShardedCBL:
 
         c_out = max(_next_pow2(max(self._slog_real, 1)), MIN_CAP)
         self._slog_real = 0
-        fn = _slog_fold_sharded_fn(self.cfg, self.mesh, slog.shape[1], c_out,
-                                   slog_packed(self.cfg))
-        self.data, counts = fn(slog)
+        fn = _slog_fold_sharded_fn(self.cfg, self.mesh, slog[0].shape[1],
+                                   c_out, slog_packed(self.cfg))
+        self.data, counts = fn(*slog)
         self.C = c_out
         self._dups = False
         self._set_counts_dev(counts, c_out)
@@ -1146,7 +1147,7 @@ class ShardedCBL:
             self._slog_real = min(
                 self._count_upper if not self._dups else self.C, self.C
             )
-        S_in = self._slog_dev.shape[1]
+        S_in = self._slog_dev[0].shape[1]
         cap_b = max(
             4096, _next_pow2(max(1, 2 * (nk_i + nk_q + nk_r) // self.D))
         )
@@ -1157,10 +1158,11 @@ class ShardedCBL:
         fn = _dyn_round_step_fn(
             self.cfg, self.mesh, nk_i, nk_q, nk_r, S_in, S_out, cap_b,
         )
-        slog, hits, live, dropped = fn(
-            self._slog_dev, w_i, w_q, w_r,
-            jnp.asarray(self.boundaries), np.uint32(seq),
+        out = fn(
+            w_i, w_q, w_r, jnp.asarray(self.boundaries), np.uint32(seq),
+            *self._slog_dev,
         )
+        slog, (hits, live, dropped) = out[:-3], out[-3:]
         self._slog_dev = slog
         self._slog_seq = seq
         self._slog_real = new_real
