@@ -938,7 +938,12 @@ class ShardedCBL:
 
     def _maybe_init_boundaries(self, words: np.ndarray) -> None:
         """Derive balanced quantile boundaries from the first word batch."""
-        if self._boundaries_from_data or self.count() > 0 or self.D == 1:
+        # ordering matters: check the cheap static conditions FIRST —
+        # `count()` on an active sorted-log is a blocking device sync, and
+        # evaluating it before the D == 1 short-circuit cost every D=1
+        # dynamic round a ~28ms RPC (session26's 2.1x -> the fix)
+        if (self.D == 1 or self._boundaries_from_data
+                or self._slog_dev is not None or self._count_upper > 0):
             return
         valid = ~np.all(words == _U32_MAX, axis=-1)
         sample = words[valid]
@@ -1457,7 +1462,12 @@ class ShardedCBL:
     ) -> None:
         """Quantile boundaries from the first sub-slab's words (computed
         once on the default device; ~one extra pipeline pass)."""
-        if self._boundaries_from_data or self.count() > 0 or self.D == 1:
+        # ordering matters: check the cheap static conditions FIRST —
+        # `count()` on an active sorted-log is a blocking device sync, and
+        # evaluating it before the D == 1 short-circuit cost every D=1
+        # dynamic round a ~28ms RPC (session26's 2.1x -> the fix)
+        if (self.D == 1 or self._boundaries_from_data
+                or self._slog_dev is not None or self._count_upper > 0):
             return
         from ..cbl import _fused_words_fn
 
