@@ -28,7 +28,7 @@ Divergences (documented, CLI-observable behavior preserved):
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -248,7 +248,7 @@ def _fused_round_slog_fn(cfg: CBLConfig, nk_i: int, nk_q: int, nk_r: int,
     L = cfg.word_limbs
     pack = slog_packed(cfg)
 
-    def tagged(words, n, typ, base):
+    def tagged(words, typ, base):
         sent = words[:, 0] == _MAX
         for l in range(1, L):
             sent = sent & (words[:, l] == _MAX)
@@ -264,9 +264,9 @@ def _fused_round_slog_fn(cfg: CBLConfig, nk_i: int, nk_q: int, nk_r: int,
         base = seq.astype(jnp.uint32) << 2
         # constant per-stream tags keep each sorted stream (word, tag)-
         # sorted; sentinel rows stay all-ones and at the end
-        b = merge_sorted_pair(tagged(w_i, nk_i, 1, base),
-                              tagged(w_q, nk_q, 2, base))
-        b = merge_sorted_pair(b, tagged(w_r, nk_r, 3, base))
+        b = merge_sorted_pair(tagged(w_i, 1, base),
+                              tagged(w_q, 2, base))
+        b = merge_sorted_pair(b, tagged(w_r, 3, base))
         merged = merge_sorted_pair(a_cols, b) if a_cap else b
         total = a_cap + nk_i + nk_q + nk_r
         if total > out_cap:

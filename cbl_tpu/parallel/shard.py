@@ -641,7 +641,7 @@ def _dyn_round_step_fn(cfg: CBLConfig, mesh: Mesh,
     pack = slog_packed(cfg)
     ncol = L if pack else L + 1
 
-    def tagged_cols(words, n, typ, base):
+    def tagged_cols(words, typ, base):
         sent = words[:, 0] == _U32_MAX
         for l in range(1, L):
             sent = sent & (words[:, l] == _U32_MAX)
@@ -657,10 +657,10 @@ def _dyn_round_step_fn(cfg: CBLConfig, mesh: Mesh,
         base = seq.astype(jnp.uint32) << 2
         qtag = base | jnp.uint32(2)
         sb = merge_sorted_pair(
-            tagged_cols(w_i[0], nk_i, 1, base),
-            tagged_cols(w_q[0], nk_q, 2, base),
+            tagged_cols(w_i[0], 1, base),
+            tagged_cols(w_q[0], 2, base),
         )
-        sb = merge_sorted_pair(sb, tagged_cols(w_r[0], nk_r, 3, base))
+        sb = merge_sorted_pair(sb, tagged_cols(w_r[0], 3, base))
         if D == 1:
             bs = sb
             dropped = jnp.int32(0)
