@@ -616,3 +616,31 @@ def test_sharded_stream_staging_and_memo():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="different"):
         other.dynamic_round(segs[0], segs[0], segs[0])
+
+
+def test_sharded_dynamic_largek_unpacked(mesh):
+    """K=59 leaves <8 spare bits, so the SHARDED slog keeps the separate
+    tag column and routes it as an all-to-all payload — that branch of
+    _dyn_round_step_fn must match the single-chip rounds exactly."""
+    from cbl_tpu.wordset import slog_packed
+
+    rng = np.random.default_rng(123)
+    k = 59
+    sb = 4_000
+    codes = rng.integers(0, 4, size=3 * sb, dtype=np.uint8)
+    off = np.array([0, sb], dtype=np.int64)
+    x = ShardedCBL(k=k, prefix_bits=28, mesh=mesh, batch_per_device=512)
+    assert not slog_packed(x.cfg)
+    single = CBL(k=k, prefix_bits=28)
+    for r in range(3):
+        seg = codes[r * sb:(r + 1) * sb]
+        qry = codes[max(r - 1, 0) * sb:(max(r - 1, 0) + 1) * sb]
+        rm = codes[r * sb + sb // 2:(r + 1) * sb + sb // 2] \
+            if r < 2 else codes[:sb]
+        got = x.dynamic_round((seg, off), (qry, off), (rm, off))
+        want = single.dynamic_round((seg, off), (qry, off), (rm, off))
+        assert got == want, r
+        assert x.count() == single.count()
+    np.testing.assert_array_equal(
+        x.words_array(), single.wordset.words_array()
+    )
