@@ -95,11 +95,26 @@ def _device_words(stream, starts, ends, nk_pad: int, cfg: CBLConfig,
     short trailing records, and the padded tail); rows covered by at least
     one interval are blanked.  Padding entries use index nk_pad + 1 (dropped).
     """
+    from .ops.scan_pallas import blank_engages, blank_mask_pallas
+
     kmers = kmod.extract_kmers(stream, nk_pad, cfg)
     if canonical:
         kmers, _ = kmod.canonicalize(kmers, cfg)
     best, pos = necklace.necklace_pos_auto(kmers, cfg)
     words = necklace.pack_word(best, pos, cfg)
+    if blank_engages(nk_pad):
+        # single-HBM-pass running-sum kernel; an end at index nk_pad is
+        # dropped (equivalent to the sliced cumsum below)
+        delta = (
+            jnp.zeros((nk_pad,), jnp.int32)
+            .at[starts].add(1, mode="drop")
+            .at[ends].add(-1, mode="drop")
+        )
+        mask, n_valid = blank_mask_pallas(
+            delta, interpret=jax.default_backend() in ("cpu",)
+        )
+        words = jnp.where((mask > 0)[:, None], _U32_MAX, words)
+        return words, n_valid
     delta = (
         jnp.zeros((nk_pad + 1,), jnp.int32)
         .at[starts].add(1, mode="drop")

@@ -220,6 +220,102 @@ def slog_scan_counts_pallas(cols, qtag, pack: bool = False,
     return hits[0], live[0]
 
 
+def _prefix_sum_flat(m, block_rows: int):
+    """Inclusive prefix SUM of an int32 [BR, 128] array in row-major flat
+    order — same shape as `_prefix_max_flat` with adds."""
+    c = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
+    z = jnp.zeros_like(m)
+    for k_log in range(7):
+        k = 1 << k_log
+        sh = jnp.where(c >= k, pltpu.roll(m, k, axis=1), z)
+        m = m + sh
+    rowsum = m[:, 127:128]  # inclusive prefix's last lane = row total
+    rp = jnp.where(r[:, :1] >= 1, pltpu.roll(rowsum, 1, axis=0), z[:, :1])
+    for k_log in range(max(block_rows.bit_length() - 1, 0)):
+        k = 1 << k_log
+        sh = jnp.where(r[:, :1] >= k + 1, pltpu.roll(rp, k, axis=0), z[:, :1])
+        rp = rp + sh
+    return m + rp
+
+
+@lru_cache(maxsize=None)
+def _blank_call(n_rows: int, block_rows: int, interpret: bool):
+    """Record-boundary blanking as ONE HBM pass: running sum of the
+    +1/-1 interval deltas with a scalar carry -> (int32 blanked mask,
+    valid count).  Replaces the `jnp.cumsum` over the whole slab in
+    `cbl._device_words` — a log-depth chain of materialised passes that
+    was ~40% of the word-pipeline cost at 2^25 (session28)."""
+    G = n_rows // block_rows
+
+    def kernel(*refs):
+        d_ref, out_ref, nv_ref, carry = refs
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _init():
+            carry[0] = 0
+            carry[1] = 0
+
+        d = d_ref[...]
+        s = _prefix_sum_flat(d, block_rows) + carry[0]
+        blank = (s > 0).astype(jnp.int32)
+        out_ref[...] = blank
+        # the tile's last prefix value = previous carry + tile total
+        carry[0] = carry[0] + jnp.sum(d)
+        carry[1] = carry[1] + jnp.sum(1 - blank)
+
+        @pl.when(g == G - 1)
+        def _fin():
+            nv_ref[0] = carry[1]
+
+    spec = pl.BlockSpec(
+        (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    def run(delta2d):
+        return pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[spec],
+            out_specs=[spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+            interpret=interpret,
+        )(delta2d)
+
+    return run
+
+
+def blank_mask_pallas(delta, interpret: bool = False):
+    """(blanked int32 mask [n], n_valid int32 scalar) from int32 interval
+    deltas [n] (n a multiple of 1024): mask[i] = cumsum(delta)[:i+1] > 0."""
+    n = delta.shape[0]
+    n_rows = n // _LANES
+    block_rows = 256
+    while n_rows % block_rows:
+        block_rows //= 2
+    assert block_rows >= 8, (n, block_rows)
+    run = _blank_call(n_rows, block_rows, interpret)
+    mask2d, nv = run(delta.reshape(n_rows, _LANES))
+    return mask2d.reshape(n), nv[0]
+
+
+def blank_engages(n: int) -> bool:
+    mode = scan_mode()
+    if mode.endswith("-force"):
+        return True
+    return (
+        mode == "pallas"
+        and n >= _MIN_PALLAS_SCAN_N
+        and n % 1024 == 0
+        and jax.default_backend() not in ("cpu",)
+    )
+
+
 _SCAN_MODES = ("xla", "pallas", "pallas-force")
 _MIN_PALLAS_SCAN_N = 1 << 19
 

@@ -171,3 +171,55 @@ def test_scan_kernel_packed_layout(n):
     h, lv = slog_scan_counts_pallas(cols, qt, pack=True, interpret=True)
     assert (int(h), int(lv)) == want
     assert want[1] > 0
+
+
+@pytest.mark.parametrize("n", [1024, 4096, 131072])
+def test_blank_mask_kernel_matches_cumsum(n):
+    """The single-pass blanking kernel must equal the cumsum formula for
+    random overlapping intervals, including carries across tiles."""
+    from cbl_tpu.ops.scan_pallas import blank_mask_pallas
+
+    rng = np.random.default_rng(n)
+    n_iv = 37
+    starts = rng.integers(0, n, size=n_iv).astype(np.int32)
+    lens = rng.integers(1, max(n // 8, 2), size=n_iv).astype(np.int32)
+    ends = np.minimum(starts + lens, n).astype(np.int32)
+    delta = np.zeros(n, np.int32)
+    np.add.at(delta, starts, 1)
+    for e in ends:
+        if e < n:
+            delta[e] -= 1
+    want_mask = np.cumsum(delta) > 0
+    mask, nv = blank_mask_pallas(jnp.asarray(delta), interpret=True)
+    np.testing.assert_array_equal(np.asarray(mask) > 0, want_mask)
+    assert int(nv) == int((~want_mask).sum())
+    assert want_mask.any() and not want_mask.all()
+
+
+def test_device_words_blank_kernel_forced(monkeypatch):
+    """_device_words under CBL_TPU_SLOG_SCAN=pallas-force (which forces
+    the blanking kernel too) must produce identical words and valid
+    counts to the XLA cumsum path on a multi-record stream."""
+    from cbl_tpu import CBL
+    import cbl_tpu.cbl as cmod
+
+    rng = np.random.default_rng(77)
+    codes = rng.integers(0, 4, size=9_000, dtype=np.uint8)
+    offsets = np.array([0, 1_000, 1_024, 5_000, 9_000], dtype=np.int64)
+
+    def words_of(env):
+        monkeypatch.setenv("CBL_TPU_SLOG_SCAN", env)
+        cmod._fused_words_fn.cache_clear()
+        idx = CBL(k=25)
+        ps = idx.pack_stream(codes, offsets)
+        nk_pad, stream, s_arr, e_arr, _ = ps.slabs[0]
+        w, nv = cmod._fused_words_fn(idx.cfg, False, nk_pad)(
+            stream, s_arr, e_arr
+        )
+        return np.asarray(w), int(nv)
+
+    w_f, nv_f = words_of("pallas-force")
+    w_x, nv_x = words_of("xla")
+    cmod._fused_words_fn.cache_clear()
+    assert nv_f == nv_x
+    np.testing.assert_array_equal(w_f, w_x)
