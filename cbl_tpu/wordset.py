@@ -457,11 +457,19 @@ def _count_hits_kernel(data, queries):
 def _shift_tag(rows, tag: int):
     """Pack a 1-bit operand tag into the key's low bit: shift the whole
     multi-limb word left one bit (monotone: n_bits + 1 < 32L) and OR the
-    tag into the last limb.  Sentinel rows stay all-ones."""
+    tag into the last limb.  Sentinel rows stay all-ones: for L >= 2 the
+    shift carries a 1 into limb 0's low bit from limb 1 (so limb 0 — the
+    limb every consumer's sentinel test reads — stays 0xFFFFFFFF), but a
+    1-LIMB word has no upper limb and would become 0xFFFFFFFE|tag, which
+    tag-0 query pads then match against tag-0 data pads (counted every
+    padded query as a hit at K=7-class configs); restore them
+    explicitly."""
     L = rows.shape[-1]
     out = limbs.shift_left(rows, 1)
     if tag:
         out = out.at[:, L - 1].set(out[:, L - 1] | jnp.uint32(1))
+    if L == 1:
+        out = jnp.where(rows[:, :1] == _U32_MAX, _U32_MAX, out)
     return out
 
 
@@ -941,14 +949,17 @@ def _slog_scan(s, L: int, pack: bool = False):
     says "an entry exists in my current run" and bit 0 its kind —
     a run-start row that is itself an entry just carries the entry bits."""
     n = s[0].shape[0]
-    neq = s[0][1:] != s[0][:-1]
-    sentinel = s[0] == _U32_MAX
-    for l in range(1, L):
+    neq = None
+    sentinel = None
+    for l in range(L):
         a, b = s[l][1:], s[l][:-1]
         if pack and l == L - 1:  # mask the in-word tag for run grouping
+            # (the last limb is ALSO limb 0 for 1-limb configs)
             a, b = a & ~jnp.uint32(0xFF), b & ~jnp.uint32(0xFF)
-        neq = neq | (a != b)
-        sentinel = sentinel & (s[l] == _U32_MAX)
+        d = a != b
+        neq = d if neq is None else neq | d
+        sv = s[l] == _U32_MAX
+        sentinel = sv if sentinel is None else sentinel & sv
     run_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
     idx = jnp.arange(n, dtype=jnp.int32)
     tag = _slog_tag(s, L, pack)

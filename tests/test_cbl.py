@@ -761,3 +761,40 @@ def test_packed_slog_seq_cap_forces_fold():
     np.testing.assert_array_equal(
         idx.wordset.words_array(), other.wordset.words_array()
     )
+
+
+def test_dynamic_round_single_limb_packed_slog():
+    """K=7/PREFIX_BITS=13 packs into ONE limb (18 word bits + 8 tag
+    bits): the packed slog's tag masking must apply to limb 0 itself —
+    round-3 of this bug split word runs by tag and broke liveness."""
+    from cbl_tpu.wordset import slog_packed
+
+    rng = np.random.default_rng(55)
+    k = 7
+    sb = 600
+    codes = rng.integers(0, 4, size=3 * sb, dtype=np.uint8)
+    off = np.array([0, sb], dtype=np.int64)
+    idx = CBL(k=k, prefix_bits=13)
+    assert idx.cfg.word_limbs == 1 and slog_packed(idx.cfg)
+
+    def run(fused):
+        i2 = CBL(k=k, prefix_bits=13)
+        out = []
+        for r in range(3):
+            seg = codes[r * sb:(r + 1) * sb]
+            qry = codes[max(r - 1, 0) * sb:(max(r - 1, 0) + 1) * sb]
+            rm = codes[r * sb // 2:r * sb // 2 + sb]
+            if fused:
+                out.append(i2.dynamic_round((seg, off), (qry, off),
+                                            (rm, off)))
+            else:
+                i2.insert_codes_stream(seg, off)
+                out.append(i2.query_codes_stream(qry, off))
+                i2.remove_codes_stream(rm, off)
+            out.append(i2.count())
+        return out, sorted(map(tuple, i2.wordset.words_array().tolist()))
+
+    got, wf = run(True)
+    want, wu = run(False)
+    assert got == want
+    assert wf == wu
