@@ -162,9 +162,8 @@ def _setop_sort_kernel_packed(a, b, op: str, out_cap: int):
     of L+1.  Requires n_bits <= 32*L - 2 (caller dispatches)."""
     L = a.shape[-1]
     one = jnp.uint32(1)
-    at = limbs.shift_left(a, 1)
-    at = at.at[:, L - 1].set(at[:, L - 1] | one)
-    bt = limbs.shift_left(b, 1)
+    at = _shift_tag(a, 1)
+    bt = _shift_tag(b, 0)  # preserves 1-limb sentinels (see _shift_tag)
     rows = jnp.concatenate([at, bt], axis=0)
     cols = tuple(rows[:, l] for l in range(L))
     sc = sort_cols_auto(cols)
@@ -234,9 +233,8 @@ def _setop_merge_kernel(a, b, op: str):
     rows in `a` are dropped by the same adjacency rule."""
     L = a.shape[-1]
     one = jnp.uint32(1)
-    at = limbs.shift_left(a, 1)
-    at = at.at[:, L - 1].set(at[:, L - 1] | one)
-    bt = limbs.shift_left(b, 1)
+    at = _shift_tag(a, 1)
+    bt = _shift_tag(b, 0)  # preserves 1-limb sentinels (see _shift_tag)
     # equal words order (b tag 0) before (a tag 1) — same order the tagged
     # sort kernels produce
     sc = merge_sorted_pair(

@@ -299,3 +299,32 @@ def test_set_algebra_merge_path_forced(op, monkeypatch):
         assert got2.count() == len(set(expect) | b_vals)
     finally:
         jax.clear_caches()
+
+
+def test_single_limb_packed_setops_ignore_sentinels():
+    """L=1 configs: the packed-tag shift must keep sentinel pads inert in
+    every set-op kernel (a 1-limb all-ones row shifted left lost its
+    sentinel-ness and union/symdiff emitted a garbage 0x7FFFFFFF word)."""
+    import jax.numpy as jnp
+
+    from cbl_tpu.wordset import (
+        _setop_merge_kernel,
+        _setop_sort_kernel_packed,
+    )
+
+    a = np.full((8, 1), 0xFFFFFFFF, np.uint32)
+    a[:3, 0] = [2, 5, 9]
+    b = np.full((8, 1), 0xFFFFFFFF, np.uint32)
+    b[:2, 0] = [5, 11]
+    cases = [("union", {2, 5, 9, 11}), ("inter", {5}), ("diff", {2, 9}),
+             ("symdiff", {2, 9, 11})]
+    for op, want in cases:
+        out, n = _setop_sort_kernel_packed(
+            jnp.asarray(a), jnp.asarray(b), op, 16
+        )
+        got = {int(x) for x in np.asarray(out)[:, 0] if x != 0xFFFFFFFF}
+        assert got == want and int(n) == len(want), (op, got, int(n))
+    for op, want in cases[1:]:
+        out, n = _setop_merge_kernel(jnp.asarray(a), jnp.asarray(b), op)
+        got = {int(x) for x in np.asarray(out)[:, 0] if x != 0xFFFFFFFF}
+        assert got == want and int(n) == len(want), (op, got, int(n))
