@@ -798,3 +798,62 @@ def test_dynamic_round_single_limb_packed_slog():
     want, wu = run(False)
     assert got == want
     assert wf == wu
+
+
+def test_single_limb_mixed_api_fuzz_vs_set_oracle():
+    """K=7/PREFIX_BITS=13 (1-limb words) mixed-API fuzz: stream inserts/
+    removes/queries, point contains, count, and binary algebra against a
+    python-set oracle — the L=1 family broke two packed-sentinel kernels
+    this round; this sweeps the remaining one-limb paths."""
+    rng = np.random.default_rng(321)
+    k, pb = 7, 13
+    pool = rng.integers(0, 4, size=8_000, dtype=np.uint8)
+    idx = CBL(k=k, prefix_bits=pb)
+    oracle = set()
+    kmer_oracle = set()
+
+    def words_of(c):
+        i2 = CBL(k=k, prefix_bits=pb)
+        i2.insert_codes_stream(c, np.array([0, len(c)], dtype=np.int64))
+        return [tuple(w) for w in i2.wordset.words_array()]
+
+    for r in range(10):
+        n = int(rng.integers(k + 3, 900))
+        s0 = int(rng.integers(0, len(pool) - n))
+        chunk = pool[s0:s0 + n]
+        cw = words_of(chunk)
+        off = np.array([0, n], dtype=np.int64)
+        op = r % 3
+        if op == 0:
+            idx.insert_codes_stream(chunk, off)
+            oracle |= set(cw)
+            kmer_oracle |= set(_kmers_of(decode_codes(chunk), k))
+        elif op == 1:
+            idx.remove_codes_stream(chunk, off)
+            oracle -= set(cw)
+            kmer_oracle -= set(_kmers_of(decode_codes(chunk), k))
+        else:
+            # per-OCCURRENCE expectation via kmer ints (kmer<->word is a
+            # bijection, so kmer membership equals word membership)
+            km = _kmers_of(decode_codes(chunk), k)
+            t, p = idx.query_codes_stream(chunk, off)
+            assert t == len(km)
+            assert p == sum(1 for v in km if v in kmer_oracle), r
+        assert idx.count() == len(oracle), r
+    got = set(map(tuple, idx.wordset.words_array()))
+    assert got == oracle
+    # point membership on a mix of present/absent words
+    some = list(oracle)[:50] + [(int(w[0]) ^ 1,) for w in list(oracle)[:50]]
+    mask = np.asarray(idx.wordset.contains_words(
+        np.array(some, dtype=np.uint32)))
+    for w, m in zip(some, mask):
+        assert bool(m) == (tuple(w) in oracle)
+    # binary algebra against a second fuzzed index
+    other = CBL(k=k, prefix_bits=pb)
+    other.insert_codes_stream(pool[:2_000], np.array([0, 2_000]))
+    so = set(map(tuple, other.wordset.words_array()))
+    import operator
+
+    for pyop, cop in ((operator.or_, idx | other), (operator.and_, idx & other),
+                      (operator.sub, idx - other), (operator.xor, idx ^ other)):
+        assert set(map(tuple, cop.wordset.words_array())) == pyop(oracle, so)
