@@ -737,7 +737,7 @@ class CBL:
         if ws.n_pending > 0:
             ws.flush()
         if ws._slog_pack and ws._slog_seq >= _SLOG_SEQ_MAX:
-            ws._fold_slog()  # the packed 8-bit tag caps round_seq at 63
+            ws._fold_slog()  # the packed 8-bit tag caps round_seq at 62
         ws.maybe_autofold_slog()
         n_slog_cols = ws.L if ws._slog_pack else ws.L + 1
         if ws._slog is None:

@@ -885,18 +885,32 @@ def _pending_override_kernel(pending, tags, queries):
 # numeric order of the packed value, so every slog sort/merge/scan runs
 # on L columns instead of L+1 — one third less HBM traffic and VPU work
 # per round at L=2.  Sentinel rows stay all-ones exactly (their tag is
-# forced to 0xFF).  The 8-bit tag caps round_seq at 63; `dynamic_round`
-# folds the log before the cap.  Configs without spare bits (K=59: 125
+# forced to 0xFF).  The 8-bit tag caps round_seq at 62 (63 would pack a
+# remove to the 0xFF sentinel); `dynamic_round` folds before the cap.  Configs without spare bits (K=59: 125
 # of 128 bits) keep the separate tag column; every kernel below takes a
 # static `pack` flag.
 
 
 def slog_packed(cfg: CBLConfig) -> bool:
     """True when the packed-tag slog layout applies to this config."""
-    return cfg.n_bits + 8 <= 32 * cfg.word_limbs
+    if cfg.n_bits + 8 > 32 * cfg.word_limbs:
+        return False
+    if cfg.n_bits + 8 == 32 * cfg.word_limbs:
+        # Fully-occupied packed rows (e.g. K=25: 56 word bits + 8 tag bits
+        # = 64): the all-ones word with the 0xFF query tag would equal the
+        # sentinel and be masked out of `_slog_join_count` — a false
+        # negative.  Prove it unreachable: an all-ones word needs its pos
+        # field = 2^pos_bits - 1, but pos < 2K and for odd K, 2K is never
+        # a power of two, so 2^ceil(log2(2K)) - 1 >= 2K > max pos.
+        assert (1 << cfg.pos_bits) - 1 >= 2 * cfg.k, cfg
+    return True
 
 
-_SLOG_SEQ_MAX = 63  # packed tag = (seq << 2) | typ must fit 8 bits
+# Rounds run with seq = _slog_seq + 1, so the cap must keep
+# (cap << 2) | 3 = 251 strictly below the 0xFF sentinel tag — at 63 a
+# remove in the 63rd consecutive round would pack to 0xFF and be treated
+# as a sentinel (silently dropped).
+_SLOG_SEQ_MAX = 62  # packed tag = (seq << 2) | typ must stay < 0xFF
 
 
 def _shl8_or(rows_cols, tag):

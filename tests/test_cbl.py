@@ -729,7 +729,7 @@ def test_dynamic_round_randomized_fuzz_vs_set_oracle():
 
 
 def test_packed_slog_seq_cap_forces_fold():
-    """The packed 8-bit tag caps round_seq at 63: a 70-round workload must
+    """The packed 8-bit tag caps round_seq at 62: a 70-round workload must
     fold transparently at the cap and stay exact."""
     from cbl_tpu.wordset import _SLOG_SEQ_MAX
 
@@ -761,6 +761,53 @@ def test_packed_slog_seq_cap_forces_fold():
     np.testing.assert_array_equal(
         idx.wordset.words_array(), other.wordset.words_array()
     )
+
+
+def test_packed_slog_remove_at_max_seq_sticks():
+    """A remove issued in a round running at exactly seq == _SLOG_SEQ_MAX
+    must not pack its tag to the 0xFF sentinel: the removed word (never
+    re-inserted) stays absent.  Regression for the cap off-by-one (at
+    cap=63 the tag (63<<2)|3 == 0xFF collided with the sentinel and the
+    remove was silently dropped)."""
+    from cbl_tpu.wordset import _SLOG_SEQ_MAX, slog_packed
+
+    rng = np.random.default_rng(321)
+    k = 25
+    idx = CBL(k=k)
+    assert slog_packed(idx.cfg)
+    ws = idx.wordset
+    target = rng.integers(0, 4, size=k, dtype=np.uint8)
+    off1 = np.array([0, k], dtype=np.int64)
+    pool = rng.integers(0, 4, size=20_000, dtype=np.uint8)
+    sb = 100
+    off = np.array([0, sb], dtype=np.int64)
+    idx.insert_codes_stream(target, off1)
+    assert idx.count() == 1
+    removed = False
+    for r in range(3 * _SLOG_SEQ_MAX):
+        at_max = ws._slog_seq == _SLOG_SEQ_MAX - 1
+        s0 = (r * 53) % 15_000
+        rm = (target, off1) if at_max else (pool[s0 + sb:s0 + 2 * sb], off)
+        idx.dynamic_round(
+            (pool[s0:s0 + sb], off), (pool[s0:s0 + sb], off), rm
+        )
+        if at_max:
+            assert ws._slog_seq == _SLOG_SEQ_MAX  # ran at the cap itself
+            removed = True
+            break
+    assert removed
+    # later rounds observe the absence (and never re-insert the target)
+    for r in range(3):
+        s0 = ((r + 7) * 97) % 15_000
+        t, p = idx.dynamic_round(
+            (pool[s0:s0 + sb], off), (target, off1),
+            (pool[s0 + sb:s0 + 2 * sb], off),
+        )
+        assert (t, p) == (1, 0), r
+    ref = CBL(k=k)
+    ref.insert_codes_stream(target, off1)
+    tw = tuple(ref.wordset.words_array()[0])
+    assert tw not in set(map(tuple, idx.wordset.words_array()))
 
 
 def test_dynamic_round_single_limb_packed_slog():

@@ -328,3 +328,24 @@ def test_single_limb_packed_setops_ignore_sentinels():
         out, n = _setop_merge_kernel(jnp.asarray(a), jnp.asarray(b), op)
         got = {int(x) for x in np.asarray(out)[:, 0] if x != 0xFFFFFFFF}
         assert got == want and int(n) == len(want), (op, got, int(n))
+
+
+def test_slog_packed_boundary_configs_cannot_reach_sentinel():
+    """Configs whose packed row is fully occupied (n_bits + 8 == 32*L,
+    e.g. K=25) could collide the all-ones word + 0xFF query tag with the
+    sentinel; slog_packed proves the all-ones word unreachable (the pos
+    field can never saturate for odd K) via an assert.  Sweep every valid
+    config and exercise that proof."""
+    from cbl_tpu.config import CBLConfig
+    from cbl_tpu.wordset import slog_packed
+
+    boundary = 0
+    for k in range(3, 60, 2):
+        for pb in range(1, min(2 * k, 33)):
+            cfg = CBLConfig(k=k, prefix_bits=pb)
+            packed = slog_packed(cfg)  # must not raise
+            if cfg.n_bits + 8 == 32 * cfg.word_limbs:
+                boundary += 1
+                assert packed
+                assert (1 << cfg.pos_bits) - 1 >= 2 * k
+    assert boundary > 0  # the K=25 flagship family is in the sweep
