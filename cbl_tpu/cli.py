@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("repartition", help="Show the repartition of the k-mers in the data structure")
     p.add_argument("index")
+    p.add_argument("--sharded", action="store_true",
+                   help="Load a sharded checkpoint, re-balance the range "
+                        "partition to the current contents, and report the "
+                        "per-shard load before/after")
+    p.add_argument("-o", "--output", default=None,
+                   help="Write the re-balanced sharded index back out")
 
     p = sub.add_parser("export-ref", help="Convert an index to the reference binary's .cbl bincode format")
     p.add_argument("index")
@@ -236,8 +242,20 @@ def _run(args) -> int:
         if args.output:
             _write_index(a, args.output)
     elif cmd == "repartition":
-        cbl = _read_index(args.index)
-        _repartition_report(cbl)
+        if args.sharded:
+            from .parallel import ShardedCBL
+
+            _eprint(f"Reading the sharded index stored in {args.index}")
+            cbl = ShardedCBL.load_from_file(args.index)
+            _eprint(f"Shard balance before: {cbl.shard_balance().tolist()}")
+            cbl.repartition()
+            _eprint(f"Shard balance after:  {cbl.shard_balance().tolist()}")
+            if args.output:
+                _eprint(f"Writing the index to {args.output}")
+                cbl.save_to_file(args.output)
+        else:
+            cbl = _read_index(args.index)
+            _repartition_report(cbl)
     elif cmd == "export-ref":
         from . import interop
 

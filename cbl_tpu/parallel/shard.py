@@ -377,6 +377,55 @@ def _dedup_fn(cfg: CBLConfig, mesh: Mesh, C: int):
 
 
 @lru_cache(maxsize=None)
+def _repartition_fn(cfg: CBLConfig, mesh: Mesh, C: int, bucket_cap: int):
+    """Re-route every stored word to its NEW owner shard in ONE program:
+    each shard partitions its (sorted, distinct) slice by the new
+    boundaries and exchanges buckets with a single tiled all_to_all.
+
+    Because shard-major order equals global sorted order, the rows a
+    destination receives arrive as per-source sorted runs in mesh order —
+    already globally sorted up to interspersed sentinel padding — so one
+    local sort compacts them.  The distributed analog of re-tuning the
+    reference's radix partition from its repartition statistics
+    (`/root/reference/src/wordset/mod.rs:254-295`, SURVEY.md §7
+    "load-aware prefix partitioning")."""
+    D = mesh.devices.size
+    L = cfg.word_limbs
+
+    def local(data, boundaries):
+        s = data[0]
+        send, dropped = _route_sorted(s, boundaries, D, bucket_cap)
+        recv = jax.lax.all_to_all(
+            send, AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        batch = recv.reshape(D * bucket_cap, L)
+        cols = sort_cols_auto(tuple(batch[:, l] for l in range(L)))
+        out = jnp.stack(cols, axis=-1)
+        if out.shape[0] < C:
+            out = jnp.concatenate(
+                [out, jnp.full((C - out.shape[0], L), _U32_MAX,
+                               dtype=jnp.uint32)], axis=0
+            )
+        else:
+            out = out[:C]
+        count = jnp.sum(_valid_mask(out).astype(jnp.int32))
+        return (
+            out[None],
+            count[None],
+            jax.lax.psum(dropped, AXIS)[None],
+        )
+
+    step = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
 def _bulk_remove_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
                          nk_sub: int, C: int, bucket_cap: int):
     """Fused DP front-end + EP routing + per-shard tagged-sort difference —
@@ -1008,6 +1057,13 @@ class ShardedCBL:
         known duplicate-free."""
         if self._counts_host is None:
             self._check_dropped()  # surface any deferred overflow first
+        return self._counts_nocheck()
+
+    def _counts_nocheck(self) -> np.ndarray:
+        """Per-shard counts WITHOUT the overflow check — for internal
+        callers that run while a drop counter is legitimately pending
+        (capacity growth mid-stream, overflow recovery)."""
+        if self._counts_host is None:
             cd = self._counts_dev
             if self._multiproc:
                 cd = _gather_counts_fn(self.mesh)(cd)  # replicated [D]
@@ -1144,7 +1200,7 @@ class ShardedCBL:
         from ..wordset import _SLOG_SEQ_MAX, _quantize_cap, slog_packed
 
         if slog_packed(self.cfg) and self._slog_seq >= _SLOG_SEQ_MAX:
-            self._fold_slog()  # packed 8-bit tag caps round_seq at 63
+            self._fold_slog()  # packed 8-bit tag caps round_seq at 62
         if self._slog_dev is None:
             self._slog_dev = _data_to_slog_fn(
                 self.mesh, self.C, self.L, slog_packed(self.cfg)
@@ -1156,7 +1212,11 @@ class ShardedCBL:
         cap_b = max(
             4096, _next_pow2(max(1, 2 * (nk_i + nk_q + nk_r) // self.D))
         )
-        grow = (nk_i + nk_q + nk_r) if self.D == 1 else self.D * cap_b
+        # per-shard growth bound: a shard receives at most D*cap_b padded
+        # rows, but only nk_i+nk_q+nk_r REAL (non-sentinel) rows exist in
+        # the whole batch — growing by the padded size would inflate
+        # _slog_real ~2x+ per round at D>1 and trigger early cap growth
+        grow = min(nk_i + nk_q + nk_r, self.D * cap_b)
         new_real = self._slog_real + grow
         S_out = S_in if new_real <= S_in else _quantize_cap(new_real)
         seq = self._slog_seq + 1
@@ -1195,8 +1255,9 @@ class ShardedCBL:
                 return
         # the upper bound is pessimistic (it assumes every routed word was
         # new and landed on one shard); sync the real counts before paying
-        # for a growth pass
-        need = int(self.shard_counts.max()) + incoming_per_shard
+        # for a growth pass (no drop check: a counter may legitimately be
+        # pending mid-stream — the stream end checks it once)
+        need = int(self._counts_nocheck().max()) + incoming_per_shard
         if need <= self.C:
             return
         new_c = max(self.C * 2, 1 << (need - 1).bit_length())
@@ -1280,7 +1341,10 @@ class ShardedCBL:
     def count(self) -> int:
         if self._slog_dev is not None and self._slog_live_dev is not None:
             self._check_dropped()
-            return int(np.asarray(self._slog_live_dev)[0])
+            live = self._slog_live_dev  # psum'd: every shard holds the total
+            if self._multiproc:
+                return int(np.asarray(live.addressable_shards[0].data)[0])
+            return int(np.asarray(live)[0])
         return int(self.shard_counts.sum())
 
     def count_hits(self, words) -> int:
@@ -1476,14 +1540,20 @@ class ShardedCBL:
         )
         self._maybe_init_boundaries(np.asarray(words))
 
-    def _insert_group(self, nk_sub: int, stream_g, starts_g, ends_g) -> None:
+    def _insert_group(self, nk_sub: int, stream_g, starts_g, ends_g,
+                      bucket_scale: int = 1) -> None:
         """One bulk insert step on already-sharded device inputs.
 
         Stays fully async: the bucket-overflow counter accumulates on
         device and is checked ONCE per stream (`_check_dropped`) instead
         of forcing a blocking device round-trip per group — the per-group
-        sync serialized the whole stream on the high-latency link."""
-        bucket_cap = max(4096, _next_pow2((2 * nk_sub) // self.D))
+        sync serialized the whole stream on the high-latency link.
+        `bucket_scale` doubles the per-destination routing capacity on
+        overflow-recovery retries."""
+        bucket_cap = min(
+            _next_pow2(nk_sub),  # a source never sends more than its slab
+            bucket_scale * max(4096, _next_pow2((2 * nk_sub) // self.D)),
+        )
         incoming = min(self.D * nk_sub, self.D * bucket_cap)
         # stay async: only sync exact counts when the pessimistic upper
         # bound says capacity might overflow
@@ -1515,35 +1585,56 @@ class ShardedCBL:
                 "sharded index is corrupt: an earlier insert dropped words "
                 "on bucket overflow; rebuild the index"
             )
-        if self._dropped_dev is None:
-            return
-        d = self._dropped_dev
-        self._dropped_dev = None
-        n = int(np.asarray(d.addressable_shards[0].data)[0]
-                if self._multiproc else np.asarray(d)[0])
-        if n != 0:
+        if self._drops_pending() != 0:
             self._corrupt = True
             raise RuntimeError(
                 "sharded insert bucket overflow: range partition too "
                 "skewed; rebuild with boundaries from representative data"
             )
 
+    def _drops_pending(self) -> int:
+        """Sync and CONSUME the deferred bucket-overflow counter (0 when
+        none is pending).  Unlike `_check_dropped` this never marks the
+        index corrupt — the insert path uses it to detect an overflow it
+        can still recover from (the dropped words are re-insertable)."""
+        if self._dropped_dev is None:
+            return 0
+        d = self._dropped_dev
+        self._dropped_dev = None
+        return int(np.asarray(d.addressable_shards[0].data)[0]
+                   if self._multiproc else np.asarray(d)[0])
+
     def insert_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         """Distributed bulk build: every device pipelines its own stream
         slice, routes words to owner shards (one all-to-all), and merges
         once per slab group — no per-batch host round-trips."""
         self._fold_slog()
-        for nk_sub, stream, starts, ends in self._sub_slab_groups(
-            codes, offsets
-        ):
-            self._maybe_init_boundaries_from_stream(nk_sub, stream, starts, ends)
-            self._insert_group(
-                nk_sub,
-                self._put_rows(stream),
-                self._put_rows(starts),
-                self._put_rows(ends),
-            )
-        self._check_dropped()
+        # Overflow recovery: inserting a word twice is a no-op, so a
+        # stream whose routing overflowed a bucket (partition skewed vs
+        # the data) is recovered LOSSLESSLY by re-balancing the partition
+        # to the current contents (`repartition`) and re-running the whole
+        # stream with doubled bucket capacity.  At scale 2^a >= D the
+        # bucket holds a full source slab, so the last attempt cannot
+        # drop by construction.
+        for attempt in range(max(self.D.bit_length(), 1) + 1):
+            for nk_sub, stream, starts, ends in self._sub_slab_groups(
+                codes, offsets
+            ):
+                self._maybe_init_boundaries_from_stream(
+                    nk_sub, stream, starts, ends
+                )
+                self._insert_group(
+                    nk_sub,
+                    self._put_rows(stream),
+                    self._put_rows(starts),
+                    self._put_rows(ends),
+                    bucket_scale=1 << attempt,
+                )
+            if self.D == 1 or self._drops_pending() == 0:
+                return
+            self.repartition()
+        self._corrupt = True  # unreachable: the last attempt cannot drop
+        raise RuntimeError("sharded insert dropped words after recovery")
 
     def remove_codes_stream(self, codes: np.ndarray, offsets: np.ndarray) -> None:
         """Remove every k-mer of the record stream — bulk path: one fused
@@ -1807,6 +1898,60 @@ class ShardedCBL:
         """Words per shard — the load-balance stat for the prefix partition
         (the distributed analog of the repartition stats, SURVEY.md §5.5)."""
         return self.shard_counts.copy()
+
+    def repartition(self) -> None:
+        """Re-balance the range partition to the CURRENT index contents:
+        recompute the D-1 global quantile boundaries from the sorted
+        shard slices, re-route every stored word to its new owner with
+        ONE all_to_all (`_repartition_fn`), and rebuild the per-shard
+        counts.  Fixes partitions whose boundaries were frozen from
+        early unrepresentative data before later inserts skewed the
+        load; `insert_codes_stream` invokes it automatically on bucket
+        overflow.  The reference ships repartition statistics precisely
+        so its radix partition can be re-tuned
+        (`/root/reference/src/wordset/mod.rs:254-295`,
+        `/root/reference/examples/cbl.rs:310-366`)."""
+        self._fold_slog()
+        if self.D == 1:
+            return
+        if self._dups:
+            self._dedup_now()
+        counts = self._counts_nocheck()
+        total = int(counts.sum())
+        if total >= self.D:
+            # exact global quantiles: shard-major order IS global sorted
+            # order, so rank r lives on the shard whose count prefix-sum
+            # covers it — D-1 single-row device reads, ~nothing
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            ranks = np.array(
+                [(j * total) // self.D for j in range(1, self.D)]
+            )
+            si = (np.searchsorted(cum, ranks, side="right") - 1).astype(
+                np.int32
+            )
+            li = (ranks - cum[si]).astype(np.int32)
+            rows = jax.jit(
+                lambda d: d[jnp.asarray(si), jnp.asarray(li)],
+                out_shardings=NamedSharding(self.mesh, P()),
+            )(self.data)
+            self.boundaries = np.asarray(jax.device_get(rows)).astype(
+                np.uint32
+            )
+            self._boundaries_from_data = True
+        # destination j receives exactly the rank range [r_j, r_{j+1}) —
+        # at most ceil(total/D) rows — so no source bucket can exceed it
+        bucket_cap = max(4096, _next_pow2(total // self.D + 2))
+        fn = _repartition_fn(self.cfg, self.mesh, self.C, bucket_cap)
+        self.data, counts_dev, dropped = fn(
+            self.data, jnp.asarray(self.boundaries)
+        )
+        self._dups = False
+        n = int(np.asarray(dropped.addressable_shards[0].data)[0]
+                if self._multiproc else np.asarray(dropped)[0])
+        if n != 0:  # unreachable by the rank-range bound; fail loud
+            self._corrupt = True
+            raise RuntimeError(f"repartition dropped {n} words (bug)")
+        self._set_counts_dev(counts_dev, self._count_upper)
 
     def to_cbl(self):
         """Gather shards into a single-device CBL (exact same word set)."""

@@ -110,16 +110,19 @@ def test_parse_missing_file():
         cio.parse_fastx("/nonexistent/nope.fa")
 
 
-def _run_cli(*args):
+def _run_cli(*args, extra_env=None):
+    env = {
+        "PATH": "/usr/bin:/bin",
+        "JAX_PLATFORMS": "cpu",
+        "HOME": "/root",
+    }
+    if extra_env:
+        env.update(extra_env)
     return subprocess.run(
         [sys.executable, "-m", "cbl_tpu", *args],
         capture_output=True,
         cwd="/root/repo",
-        env={
-            "PATH": "/usr/bin:/bin",
-            "JAX_PLATFORMS": "cpu",
-            "HOME": "/root",
-        },
+        env=env,
         timeout=600,
     )
 
@@ -165,6 +168,39 @@ def test_cli_end_to_end(tmp_path):
     r = _run_cli("repartition", str(idx))
     assert r.returncode == 0
     assert b"prefixes are used" in r.stderr
+
+
+def test_cli_sharded_repartition(tmp_path):
+    """`repartition --sharded` loads a sharded checkpoint, re-balances the
+    range partition, and reports the per-shard load before/after."""
+    vdev = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    rng = np.random.default_rng(7)
+    seq = bytes(np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, 4000)])
+    reads = tmp_path / "reads.fa"
+    reads.write_bytes(b">r\n" + seq + b"\n")
+    idx = tmp_path / "shidx"
+    r = _run_cli("build", str(reads), "-o", str(idx), "--sharded",
+                 extra_env=vdev)
+    assert r.returncode == 0, r.stderr.decode()
+    assert b"Sharding the prefix space across 8 device(s)" in r.stderr
+    out = tmp_path / "shidx2"
+    r = _run_cli("repartition", str(idx), "--sharded", "-o", str(out),
+                 extra_env=vdev)
+    assert r.returncode == 0, r.stderr.decode()
+    assert b"Shard balance before:" in r.stderr
+    assert b"Shard balance after:" in r.stderr
+    # the re-balanced checkpoint reloads with the same total count
+    before = [
+        line for line in r.stderr.split(b"\n")
+        if line.startswith(b"Shard balance before:")
+    ][0]
+    after = [
+        line for line in r.stderr.split(b"\n")
+        if line.startswith(b"Shard balance after:")
+    ][0]
+    tot_b = sum(eval(before.split(b":", 1)[1].decode()))
+    tot_a = sum(eval(after.split(b":", 1)[1].decode()))
+    assert tot_a == tot_b == len(seq) - 24
 
 
 def test_cli_large_k59(tmp_path):
