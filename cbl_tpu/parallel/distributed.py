@@ -59,13 +59,14 @@ def multihost_insert_stream(idx, codes: np.ndarray, offsets: np.ndarray,
     n_proc = jax.process_count()
     d_local = idx.D // n_proc
     front = idx._front()
-    # agree on boundaries (process 0's defaults; data-driven init would
-    # diverge across processes)
-    if not idx._boundaries_from_data and n_proc > 1:
-        idx.boundaries = np.asarray(
-            mh.broadcast_one_to_all(idx.boundaries)
-        ).astype(np.uint32)
-        idx._boundaries_from_data = True
+    # agree on DATA-DRIVEN boundaries: uncoordinated per-process quantile
+    # init would diverge (each process sees only its slice), but keeping
+    # the uniform top-bit defaults is worse — necklace words are so
+    # skewed that one shard takes ~98% of the load and later routing
+    # buckets (insert and dynamic-round alike) overflow.  Process 0
+    # derives quantiles from ITS first slab; everyone adopts them.
+    if not idx._boundaries_from_data and n_proc > 1 and idx.D > 1:
+        _agree_boundaries_from_stream(idx, codes, offsets, nk_sub)
     # agree on the number of groups
     nk = max(len(codes) - idx.cfg.k + 1, 0)
     n_local = (max(nk, 1) + nk_sub - 1) // nk_sub
@@ -141,6 +142,106 @@ def multihost_query_stream(idx, codes: np.ndarray, offsets: np.ndarray,
     if total_dev is None:
         return 0, 0
     return idx._reduce_query(total_dev, positive_dev)
+
+
+def _agree_boundaries_from_stream(idx, codes: np.ndarray,
+                                  offsets: np.ndarray, nk_sub: int = 4096,
+                                  icap: int = 64) -> None:
+    """Adopt process 0's data-quantile range boundaries on every process
+    (one broadcast).  Every process derives quantiles from its own first
+    sub-slab (cheap, one pipeline pass), then overwrites them with the
+    broadcast so the SPMD programs see identical values."""
+    from jax.experimental import multihost_utils as mh
+
+    from .shard import build_slab_groups
+
+    g = next(iter(build_slab_groups(
+        idx._front(), codes, offsets, nk_sub, 1, icap=icap, n_groups=1
+    )))
+    idx._maybe_init_boundaries_from_stream(*g)
+    idx.boundaries = np.asarray(
+        mh.broadcast_one_to_all(np.asarray(idx.boundaries))
+    ).astype(np.uint32)
+    idx._boundaries_from_data = True
+
+
+def multihost_pack_stream(idx, codes: np.ndarray, offsets: np.ndarray,
+                          nk_sub: int = 4096, icap: int = 64):
+    """Stage THIS process's record slice as a SINGLE-group ShardedStream
+    on the global mesh — the multi-process analog of
+    `ShardedCBL.pack_stream` for dynamic rounds.
+
+    Shapes must be identical on every process (one SPMD program): nk_sub
+    is raised until the local slice fits its d_local sub-slabs, then
+    allgather-maxed so all processes stage the same slab geometry; short
+    processes contribute all-blank dummy slabs."""
+    import jax
+    from jax.experimental import multihost_utils as mh
+
+    from .shard import ShardedStream, build_slab_groups
+
+    n_proc = jax.process_count()
+    d_local = idx.D // n_proc
+    front = idx._front()
+    k = idx.cfg.k
+    # slab count is per-record (halo'd chunking restarts at record
+    # boundaries): grow nk_sub until the local slice fits one group
+    def n_slabs(sub):
+        return sum(
+            -(-max(int(offsets[i + 1] - offsets[i]) - k + 1, 0) // sub)
+            for i in range(len(offsets) - 1)
+        )
+
+    while n_slabs(nk_sub) > d_local:
+        nk_sub *= 2
+    nk_sub = int(np.max(mh.process_allgather(np.array([nk_sub]))))
+    (nk_sub_, stream, starts, ends), = build_slab_groups(
+        front, codes, offsets, nk_sub, d_local, icap=icap, n_groups=1
+    )
+    ss = ShardedStream(
+        (idx.cfg, idx.canonical, id(idx.mesh)),
+        [(nk_sub_, idx._put_rows(stream), idx._put_rows(starts),
+          idx._put_rows(ends))],
+    )
+    ss._host0 = (nk_sub_, stream, starts, ends)
+    return ss
+
+
+def multihost_dynamic_round(idx, ins, qry, rm, lazy: bool = False):
+    """One interleaved insert/count-query/remove round over the GLOBAL
+    mesh from per-process record slices — the multi-host analog of
+    `ShardedCBL.dynamic_round` (reference per-op contract:
+    `/root/reference/src/wordset/mod.rs:97-137`).
+
+    Each arg is THIS process's (codes, offsets) slice or a staged stream
+    from `multihost_pack_stream` (re-used streams keep their sorted-words
+    memo across rounds).  Boundaries are agreed before the first round
+    (process 0 derives data quantiles, everyone adopts them), after which
+    the round is one SPMD program; the scalar results replicate via psum
+    so each process reads them from its local shard."""
+    import jax
+    from jax.experimental import multihost_utils as mh
+
+    from .shard import ShardedStream
+
+    ps = [
+        x if isinstance(x, ShardedStream) else multihost_pack_stream(idx, *x)
+        for x in (ins, qry, rm)
+    ]
+    if (jax.process_count() > 1 and idx.D > 1
+            and not idx._boundaries_from_data
+            and idx._slog_dev is None and idx._count_upper == 0):
+        # data-driven boundary init diverges per process (each sees only
+        # its slice); derive locally, then adopt process 0's values
+        idx._maybe_init_boundaries_from_stream(*ps[0]._host0)
+        idx.boundaries = np.asarray(
+            mh.broadcast_one_to_all(np.asarray(idx.boundaries))
+        ).astype(np.uint32)
+        idx._boundaries_from_data = True
+    nv_q, hits = idx.dynamic_round(*ps, lazy=True)
+    if lazy:
+        return nv_q, hits
+    return idx._reduce_query(nv_q, hits)
 
 
 def _assert_local_shards_match(idx, ref_words: np.ndarray, ctx: str) -> None:
@@ -227,13 +328,57 @@ def run_multihost_dryrun_worker(coordinator: str, n_proc: int, pid: int,
     inter = idx & back
     assert inter.count() == idx.count()
     _assert_local_shards_match(inter, ref.wordset.words_array(), "intersect")
+
+    # interleaved dynamic rounds across processes (round-4 verdict item
+    # 4): per round every process contributes ITS slice of the three
+    # streams; (total, positive) and the folded word placement must match
+    # the single-device rounds on the full streams exactly
+    rng2 = np.random.default_rng(11)
+    segs = []
+    for _ in range(3):
+        scodes = rng2.integers(0, 4, size=4000, dtype=np.uint8)
+        soff = np.arange(0, 4001, 1000, dtype=np.int64)  # 4 records
+        segs.append((scodes, soff))
+
+    def proc_slice(seg):
+        lo_, hi_ = host_record_slice(seg[1], pid, n_proc)
+        return slice_codes(seg[0], seg[1], lo_, hi_)
+
+    staged = [multihost_pack_stream(idx, *proc_slice(s)) for s in segs]
+    halves = []
+    for scodes, soff in segs:
+        hoff = soff[: len(soff) // 2 + 1].copy()
+        halves.append((scodes[: hoff[-1]], hoff))
+    staged_h = [multihost_pack_stream(idx, *proc_slice(h)) for h in halves]
+    for r in range(3):
+        t_mh, p_mh = multihost_dynamic_round(
+            idx, staged[r], staged[r - 1 if r else 0], staged_h[r]
+        )
+        t_ref, p_ref = ref.dynamic_round(
+            segs[r], segs[r - 1 if r else 0], halves[r]
+        )
+        assert (t_mh, p_mh) == (t_ref, p_ref), (r, t_mh, p_mh, t_ref, p_ref)
+    assert idx.count() == ref.count(), (idx.count(), ref.count())
+    idx._fold_slog()  # placement check reads the folded data slices
+    assert idx.count() == ref.count(), (idx.count(), ref.count())
+    _assert_local_shards_match(idx, ref.wordset.words_array(), "dyn-rounds")
+
+    # post-round sharded checkpoint: save folds the log; reload matches
+    ck2 = f"/tmp/cbl_mh_ck2_{coordinator.rsplit(':', 1)[-1]}.npz"
+    idx.save_to_file(ck2)
+    back2 = ShardedCBL.load_from_file(ck2, mesh=mesh)
+    assert back2.count() == ref.count()
+    _assert_local_shards_match(
+        back2, ref.wordset.words_array(), "dyn-checkpoint"
+    )
     if pid == 0:
         import os
 
-        for f in (ck, ShardedCBL._shard_file(ck, 0, n_proc),
-                  ShardedCBL._shard_file(ck, 1, n_proc)):
-            if os.path.exists(f):
-                os.remove(f)
+        for base_ in (ck, ck2):
+            for f in (base_, ShardedCBL._shard_file(base_, 0, n_proc),
+                      ShardedCBL._shard_file(base_, 1, n_proc)):
+                if os.path.exists(f):
+                    os.remove(f)
         print(f"MULTIHOST_OK n={n} total={total} after_remove={idx.count()}",
               flush=True)
 
