@@ -1,6 +1,15 @@
 #!/usr/bin/env python
 """cbl_tpu benchmark — prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N, ...}
+
+The default run measures the static headline (the metric/value/unit/
+vs_baseline fields the driver parses) PLUS same-session extra keys so
+every north-star number is driver-verifiable from one line:
+canonical_kmers_per_s, dynamic_ops_per_s + dynamic_vs_local,
+sharded_dynamic_ops_per_s + sharded_dynamic_ratio, genome_kmers_per_s +
+genome_vs_baseline, algebra_ms + serde_s.  All counts are cross-checked
+against bench/baseline.cpp in the same session (--headline-only skips
+the extras; --mode <name> still runs one workload alone).
 
 Metric (BASELINE.md north star): insert_seq + contains_seq k-mers/sec/chip at
 K=25 on synthetic E. coli-scale data.  vs_baseline compares against a
@@ -41,23 +50,26 @@ def build_baseline() -> str:
     return exe
 
 
-def run_baseline(codes: np.ndarray) -> dict:
+def run_baseline(codes: np.ndarray, canonical: bool = False) -> dict:
     exe = build_baseline()
     path = "/tmp/cbl_bench_codes.bin"
     codes.tofile(path)
+    cmd = [exe, path] + (["canonical"] if canonical else [])
     out = subprocess.run(
-        [exe, path], capture_output=True, check=True, timeout=600
+        cmd, capture_output=True, check=True, timeout=600
     ).stdout
     return json.loads(out)
 
 
-def run_tpu(codes: np.ndarray, chunk: int, pending_cap: int, repeats: int = 2):
+def run_tpu(codes: np.ndarray, chunk: int, pending_cap: int, repeats: int = 2,
+            canonical: bool = False):
     from cbl_tpu import CBL
 
     offsets = np.array([0, len(codes)], dtype=np.int64)
     best = None
     for r_i in range(repeats):  # first repeat absorbs compiles; keep the best
-        idx = CBL(k=25, chunk_size=chunk, pending_cap=pending_cap)
+        idx = CBL(k=25, chunk_size=chunk, pending_cap=pending_cap,
+                  canonical=canonical)
         # Stage the input in device memory BEFORE the timers, mirroring the
         # baseline's accounting (baseline.cpp freads the codes into RAM
         # before ITS timers): both sides start with the input resident in
@@ -155,7 +167,8 @@ def make_genome_corpus(bases: int, seed: int = 0, read_len: int = 10240,
     return genome, off_i, codes_q, off_q
 
 
-def run_baseline_records(codes_i, off_i, codes_q, off_q) -> dict:
+def run_baseline_records(codes_i, off_i, codes_q, off_q,
+                         canonical: bool = False) -> dict:
     exe = build_baseline()
     paths = []
     for name, arr in (("gcodes", codes_i), ("goff", off_i),
@@ -163,20 +176,24 @@ def run_baseline_records(codes_i, off_i, codes_q, off_q) -> dict:
         p = f"/tmp/cbl_bench_{name}.bin"
         arr.tofile(p)
         paths.append(p)
+    cmd = [exe, paths[0], "records", paths[1], paths[2], paths[3]]
+    if canonical:
+        cmd.append("canonical")
     out = subprocess.run(
-        [exe, paths[0], "records", paths[1], paths[2], paths[3]],
-        capture_output=True, check=True, timeout=1200,
+        cmd, capture_output=True, check=True, timeout=1200,
     ).stdout
     return json.loads(out)
 
 
 def run_tpu_records(codes_i, off_i, codes_q, off_q, chunk: int,
-                    pending_cap: int, repeats: int):
+                    pending_cap: int, repeats: int,
+                    canonical: bool = False):
     from cbl_tpu import CBL
 
     best = None
     for r_i in range(repeats):
-        idx = CBL(k=25, chunk_size=chunk, pending_cap=pending_cap)
+        idx = CBL(k=25, chunk_size=chunk, pending_cap=pending_cap,
+                  canonical=canonical)
         t_s = time.time()
         psi = idx.pack_stream(codes_i, off_i)
         psq = idx.pack_stream(codes_q, off_q)
@@ -214,7 +231,7 @@ def run_tpu_records(codes_i, off_i, codes_q, off_q, chunk: int,
     return best
 
 
-def mode_genome(args):
+def collect_genome(args, canonical: bool = False) -> dict:
     codes_i, off_i, codes_q, off_q = make_genome_corpus(args.bases)
     nk_i = sum(
         max(int(off_i[i + 1] - off_i[i]) - 24, 0)
@@ -226,11 +243,12 @@ def mode_genome(args):
     )
     base = None
     if not args.skip_baseline:
-        base = run_baseline_records(codes_i, off_i, codes_q, off_q)
+        base = run_baseline_records(codes_i, off_i, codes_q, off_q,
+                                    canonical=canonical)
         print(f"baseline genome (1 CPU core): {base}", file=sys.stderr)
     ours = run_tpu_records(
         codes_i, off_i, codes_q, off_q, args.chunk, args.pending_cap,
-        args.repeats,
+        args.repeats, canonical=canonical,
     )
     print(f"cbl_tpu genome: {ours}", file=sys.stderr)
     assert ours["total"] == nk_q, (ours["total"], nk_q)
@@ -242,15 +260,22 @@ def mode_genome(args):
         vs = ((nk_i + nk_q) / (ours["insert_s"] + ours["query_s"])) / base_comb
     else:
         vs = None
+    return {
+        "kmers_per_s": (nk_i + nk_q) / (ours["insert_s"] + ours["query_s"]),
+        "vs_baseline": vs,
+    }
+
+
+def mode_genome(args):
+    g = collect_genome(args, canonical=args.canonical)
+    canon = ", canonical" if args.canonical else ""
     print(json.dumps({
-        "metric": "insert_seq+contains_seq k-mers/s per chip (K=25, "
-        f"{args.bases/1e6:.0f}Mbp repeat-rich genome records, ~50% query "
-        "hit rate)",
-        "value": round(
-            (nk_i + nk_q) / (ours["insert_s"] + ours["query_s"]), 1
-        ),
+        "metric": "insert_seq+contains_seq k-mers/s per chip (K=25"
+        f"{canon}, {args.bases/1e6:.0f}Mbp repeat-rich genome records, "
+        "~50% query hit rate)",
+        "value": round(g["kmers_per_s"], 1),
         "unit": "kmers/s",
-        "vs_baseline": round(vs, 3) if vs else None,
+        "vs_baseline": round(g["vs_baseline"], 3) if g["vs_baseline"] else None,
     }))
 
 
@@ -352,9 +377,9 @@ def run_tpu_sharded_dynamic(codes: np.ndarray, repeats: int,
     return best
 
 
-def mode_sharded_dynamic(args, codes):
-    base = None if args.skip_baseline else run_baseline_dynamic(codes)
-    if base:
+def collect_sharded_dynamic(args, codes, base=None) -> dict:
+    if base is None and not args.skip_baseline:
+        base = run_baseline_dynamic(codes)
         print(f"baseline dynamic: {base}", file=sys.stderr)
     ours = run_tpu_sharded_dynamic(codes, args.repeats)
     print(f"cbl_tpu sharded-dynamic: {ours}", file=sys.stderr)
@@ -364,18 +389,24 @@ def mode_sharded_dynamic(args, codes):
         vs = (ours["ops"] / ours["total_s"]) / base["ops_per_s"]
     else:
         vs = None
+    return {"ops_per_s": ours["ops"] / ours["total_s"], "vs_local": vs,
+            "base": base}
+
+
+def mode_sharded_dynamic(args, codes):
+    r = collect_sharded_dynamic(args, codes)
     print(json.dumps({
         "metric": "SHARDED (D=1 mesh) interleaved insert/remove/query "
         f"ops/s (K=25, {args.bases/1e6:.0f}Mbp, {SEGS} rounds)",
-        "value": round(ours["ops"] / ours["total_s"], 1),
+        "value": round(r["ops_per_s"], 1),
         "unit": "kmer-ops/s",
-        "vs_baseline": round(vs, 3) if vs else None,
+        "vs_baseline": round(r["vs_local"], 3) if r["vs_local"] else None,
     }))
 
 
-def mode_dynamic(args, codes):
-    base = None if args.skip_baseline else run_baseline_dynamic(codes)
-    if base:
+def collect_dynamic(args, codes, base=None) -> dict:
+    if base is None and not args.skip_baseline:
+        base = run_baseline_dynamic(codes)
         print(f"baseline dynamic: {base}", file=sys.stderr)
     ours = run_tpu_dynamic(codes, args.repeats)
     print(f"cbl_tpu dynamic: {ours}", file=sys.stderr)
@@ -385,12 +416,18 @@ def mode_dynamic(args, codes):
         vs = (ours["ops"] / ours["total_s"]) / base["ops_per_s"]
     else:
         vs = None
+    return {"ops_per_s": ours["ops"] / ours["total_s"], "vs_local": vs,
+            "base": base}
+
+
+def mode_dynamic(args, codes):
+    r = collect_dynamic(args, codes)
     print(json.dumps({
         "metric": "interleaved insert/remove/query ops/s (K=25, "
         f"{args.bases/1e6:.0f}Mbp, {SEGS} rounds)",
-        "value": round(ours["ops"] / ours["total_s"], 1),
+        "value": round(r["ops_per_s"], 1),
         "unit": "kmer-ops/s",
-        "vs_baseline": round(vs, 3) if vs else None,
+        "vs_baseline": round(r["vs_local"], 3) if r["vs_local"] else None,
     }))
 
 
@@ -428,7 +465,7 @@ def mode_largek(args, codes):
     }))
 
 
-def mode_algebra(args, codes):
+def collect_algebra(args, codes) -> dict:
     """BASELINE config 4: two-index union/inter/diff/symdiff + serde."""
     from cbl_tpu import CBL
 
@@ -457,8 +494,15 @@ def mode_algebra(args, codes):
     rows["serde_s"] = time.time() - t0
     print(f"  serde round-trip: {rows['serde_s']:.2f}s ({na} kmers)",
           file=sys.stderr)
+    rows["na"], rows["nb"] = na, nb
+    return rows
+
+
+def mode_algebra(args, codes):
+    rows = collect_algebra(args, codes)
+    na, nb = rows["na"], rows["nb"]
     total_rows = 4 * (na + nb)
-    algebra_s = sum(v for k_, v in rows.items() if k_ != "serde_s")
+    algebra_s = sum(rows[k_] for k_ in ("union", "inter", "diff", "symdiff"))
     print(json.dumps({
         "metric": "set-algebra rows/s over 4 ops "
         f"(2x{na/1e6:.1f}M kmers) + serde",
@@ -476,6 +520,14 @@ def main():
     ap.add_argument("--platform", default=None, help="e.g. cpu (default: real chip)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--canonical", action="store_true",
+                    help="canonical (strand-folded) k-mers for static/"
+                    "genome modes; counts cross-checked against the "
+                    "baseline's min(kmer, revcomp) oracle")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="default mode: print only the static headline "
+                    "(skip the dynamic/genome/algebra/canonical extra "
+                    "keys measured in the same session)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the benched "
                     "workload into DIR (cbl_tpu.profiling)")
@@ -514,16 +566,98 @@ def _run_mode(args):
         return mode_largek(args, codes)
     if args.mode == "algebra":
         return mode_algebra(args, codes)
+    st = collect_static(args, codes, canonical=args.canonical)
+    canon = ", canonical" if args.canonical else ""
+    out = {
+        "metric": "insert_seq+contains_seq k-mers/s per chip (K=25"
+        f"{canon}, {args.bases/1e6:.0f}Mbp synthetic)",
+        "value": round(st["kmers_per_s"], 1),
+        "unit": "kmers/s",
+        "vs_baseline": (
+            round(st["vs_baseline"], 3) if st["vs_baseline"] else None
+        ),
+    }
+    if not args.headline_only and not args.canonical:
+        # Same-session extras (round-4 verdict item 2): every north-star
+        # number in ONE driver-verifiable JSON line, counts cross-checked
+        # against bench/baseline.cpp the same way the headline is.  An
+        # extra that fails records its error instead of killing the line.
+        def extra(name, fn):
+            try:
+                out.update(fn())
+            except Exception as e:  # noqa: BLE001 — record, don't die
+                out[name + "_error"] = f"{type(e).__name__}: {e}"[:300]
+
+        def canonical_extra():
+            c = collect_static(args, codes, canonical=True)
+            return {
+                "canonical_kmers_per_s": round(c["kmers_per_s"], 1),
+                "canonical_vs_baseline": (
+                    round(c["vs_baseline"], 3) if c["vs_baseline"] else None
+                ),
+            }
+
+        dyn_state = {}
+
+        def dynamic_extra():
+            d = collect_dynamic(args, codes)
+            dyn_state["base"] = d["base"]
+            dyn_state["ops_per_s"] = d["ops_per_s"]
+            return {
+                "dynamic_ops_per_s": round(d["ops_per_s"], 1),
+                "dynamic_vs_local": (
+                    round(d["vs_local"], 3) if d["vs_local"] else None
+                ),
+            }
+
+        def sharded_dynamic_extra():
+            s = collect_sharded_dynamic(
+                args, codes, base=dyn_state.get("base")
+            )
+            r = {"sharded_dynamic_ops_per_s": round(s["ops_per_s"], 1)}
+            if dyn_state.get("ops_per_s"):
+                r["sharded_dynamic_ratio"] = round(
+                    s["ops_per_s"] / dyn_state["ops_per_s"], 3
+                )
+            return r
+
+        def genome_extra():
+            g = collect_genome(args)
+            return {
+                "genome_kmers_per_s": round(g["kmers_per_s"], 1),
+                "genome_vs_baseline": (
+                    round(g["vs_baseline"], 3) if g["vs_baseline"] else None
+                ),
+            }
+
+        def algebra_extra():
+            rows = collect_algebra(args, codes)
+            return {
+                "algebra_ms": {
+                    k_: round(rows[k_] * 1e3, 1)
+                    for k_ in ("union", "inter", "diff", "symdiff")
+                },
+                "serde_s": round(rows["serde_s"], 3),
+            }
+
+        extra("canonical", canonical_extra)
+        extra("dynamic", dynamic_extra)
+        extra("sharded_dynamic", sharded_dynamic_extra)
+        extra("genome", genome_extra)
+        extra("algebra", algebra_extra)
+    print(json.dumps(out))
+
+
+def collect_static(args, codes, canonical: bool = False) -> dict:
     n_kmers = args.bases - 25 + 1
-
     base = None
+    label = " canonical" if canonical else ""
     if not args.skip_baseline:
-        base = run_baseline(codes)
-        print(f"baseline (1 CPU core): {base}", file=sys.stderr)
-
-    ours = run_tpu(codes, args.chunk, args.pending_cap, args.repeats)
-    print(f"cbl_tpu: {ours}", file=sys.stderr)
-
+        base = run_baseline(codes, canonical=canonical)
+        print(f"baseline{label} (1 CPU core): {base}", file=sys.stderr)
+    ours = run_tpu(codes, args.chunk, args.pending_cap, args.repeats,
+                   canonical=canonical)
+    print(f"cbl_tpu{label}: {ours}", file=sys.stderr)
     if base is not None:
         assert ours["distinct"] == base["distinct"], (
             f"COUNT MISMATCH: tpu={ours['distinct']} cpu={base['distinct']}"
@@ -531,24 +665,13 @@ def _run_mode(args):
     assert ours["positive"] == ours["total"] == n_kmers, (
         f"query mismatch: {ours}"
     )
-
     combined = 2 * n_kmers / (ours["insert_s"] + ours["query_s"])
     if base is not None:
         base_combined = 2 * n_kmers / (base["insert_s"] + base["query_s"])
         vs = combined / base_combined
     else:
-        vs = float("nan")
-    print(
-        json.dumps(
-            {
-                "metric": "insert_seq+contains_seq k-mers/s per chip (K=25, "
-                f"{args.bases/1e6:.0f}Mbp synthetic)",
-                "value": round(combined, 1),
-                "unit": "kmers/s",
-                "vs_baseline": round(vs, 3) if vs == vs else None,
-            }
-        )
-    )
+        vs = None
+    return {"kmers_per_s": combined, "vs_baseline": vs}
 
 
 if __name__ == "__main__":

@@ -179,6 +179,52 @@ static int run_dynamic(const std::vector<uint8_t>& codes) {
   return 0;
 }
 
+// Canonical-mode oracle + baseline (bench.py --canonical).  Key = the
+// smaller of (k-mer, reverse-complement): any deterministic class
+// representative yields the same distinct/positive counts as the
+// TPU path's parity-canonical necklace words (one word per {x, rc(x)}
+// class; cf. /root/reference/src/kmer.rs:93-106).  No necklace work at
+// all, so as a TIMING baseline it is strictly stronger (faster) than a
+// reference-class canonical implementation — the ratio is conservative.
+static inline uint64_t canon_roll(uint64_t& w, uint64_t& rc, uint8_t b) {
+  // encoding A/C/T/G = 00/01/10/11: complement = XOR 0b10
+  w = ((w << 2) | (uint64_t)(b & 3)) & MASK;
+  rc = (rc >> 2) | ((uint64_t)((b ^ 2) & 3) << (BITS - 2));
+  return w < rc ? w : rc;
+}
+
+template <typename F>
+static inline void for_each_canonical(const uint8_t* codes, size_t len,
+                                      F&& op) {
+  if (len < (size_t)K) return;
+  uint64_t w = 0, rc = 0;
+  for (int i = 0; i < K - 1; i++) canon_roll(w, rc, codes[i]);
+  for (size_t i = K - 1; i < len; i++) op(canon_roll(w, rc, codes[i]));
+}
+
+static int run_canonical(const std::vector<uint8_t>& codes) {
+  size_t n_kmers = codes.size() - K + 1;
+  size_t cap = 1;
+  while (cap < n_kmers * 2) cap <<= 1;
+  HashSet set(cap);
+  using clk = std::chrono::steady_clock;
+  auto t0 = clk::now();
+  for_each_canonical(codes.data(), codes.size(),
+                     [&](uint64_t key) { set.insert(key); });
+  auto t1 = clk::now();
+  size_t positive = 0;
+  for_each_canonical(codes.data(), codes.size(),
+                     [&](uint64_t key) { positive += set.contains(key); });
+  auto t2 = clk::now();
+  double ti = std::chrono::duration<double>(t1 - t0).count();
+  double tq = std::chrono::duration<double>(t2 - t1).count();
+  printf(
+      "{\"mode\": \"canonical\", \"n_kmers\": %zu, \"distinct\": %zu, "
+      "\"positive\": %zu, \"insert_s\": %.6f, \"query_s\": %.6f}\n",
+      n_kmers, set.count, positive, ti, tq);
+  return 0;
+}
+
 static std::vector<int64_t> read_offsets(const char* path) {
   FILE* f = fopen(path, "rb");
   if (!f) { fprintf(stderr, "cannot open %s\n", path); exit(2); }
@@ -198,7 +244,8 @@ static std::vector<int64_t> read_offsets(const char* path) {
 static int run_records(const std::vector<uint8_t>& codes,
                        const std::vector<int64_t>& off,
                        const std::vector<uint8_t>& qcodes,
-                       const std::vector<int64_t>& qoff) {
+                       const std::vector<int64_t>& qoff,
+                       bool canonical) {
   size_t nk_i = 0, nk_q = 0;
   for (size_t r = 0; r + 1 < off.size(); r++) {
     int64_t len = off[r + 1] - off[r];
@@ -213,14 +260,26 @@ static int run_records(const std::vector<uint8_t>& codes,
   HashSet set(cap);
   using clk = std::chrono::steady_clock;
   auto t0 = clk::now();
-  for (size_t r = 0; r + 1 < off.size(); r++)
-    for_each_packed(codes.data() + off[r], (size_t)(off[r + 1] - off[r]),
-                    [&](uint64_t wd) { set.insert(wd); });
+  for (size_t r = 0; r + 1 < off.size(); r++) {
+    const uint8_t* p = codes.data() + off[r];
+    size_t len = (size_t)(off[r + 1] - off[r]);
+    if (canonical)
+      for_each_canonical(p, len, [&](uint64_t wd) { set.insert(wd); });
+    else
+      for_each_packed(p, len, [&](uint64_t wd) { set.insert(wd); });
+  }
   auto t1 = clk::now();
   size_t positive = 0;
-  for (size_t r = 0; r + 1 < qoff.size(); r++)
-    for_each_packed(qcodes.data() + qoff[r], (size_t)(qoff[r + 1] - qoff[r]),
-                    [&](uint64_t wd) { positive += set.contains(wd); });
+  for (size_t r = 0; r + 1 < qoff.size(); r++) {
+    const uint8_t* p = qcodes.data() + qoff[r];
+    size_t len = (size_t)(qoff[r + 1] - qoff[r]);
+    if (canonical)
+      for_each_canonical(p, len,
+                         [&](uint64_t wd) { positive += set.contains(wd); });
+    else
+      for_each_packed(p, len,
+                      [&](uint64_t wd) { positive += set.contains(wd); });
+  }
   auto t2 = clk::now();
   double ti = std::chrono::duration<double>(t1 - t0).count();
   double tq = std::chrono::duration<double>(t2 - t1).count();
@@ -244,6 +303,7 @@ int main(int argc, char** argv) {
   fclose(f);
   if (n < K) { fprintf(stderr, "input too short\n"); return 2; }
   if (argc > 2 && strcmp(argv[2], "dynamic") == 0) return run_dynamic(codes);
+  if (argc > 2 && strcmp(argv[2], "canonical") == 0) return run_canonical(codes);
   if (argc > 5 && strcmp(argv[2], "records") == 0) {
     std::vector<int64_t> off = read_offsets(argv[3]);
     FILE* qf = fopen(argv[4], "rb");
@@ -255,7 +315,8 @@ int main(int argc, char** argv) {
     if (fread(qcodes.data(), 1, qn, qf) != (size_t)qn) return 2;
     fclose(qf);
     std::vector<int64_t> qoff = read_offsets(argv[5]);
-    return run_records(codes, off, qcodes, qoff);
+    bool canon = argc > 6 && strcmp(argv[6], "canonical") == 0;
+    return run_records(codes, off, qcodes, qoff, canon);
   }
   size_t n_kmers = n - K + 1;
 
