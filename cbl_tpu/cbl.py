@@ -973,14 +973,17 @@ class CBL:
         for row in self.kmers_limbs():
             yield limbs.to_py_ints(row[None, :])[0]
 
-    def iter_nucs(self):
-        """Yield k-mers as ASCII bytes (CLI `list`)."""
-        km = self.kmers_limbs()
+    def iter_nucs(self, chunk_rows: int = 1 << 20):
+        """Yield k-mers as ASCII bytes (CLI `list`).
+
+        Streams the index in bounded chunks — device->host transfer AND
+        host decode both per-chunk, so listing a huge index never
+        materialises it (reference lazy iteration,
+        `/root/reference/src/wordset/mod.rs:298-362`)."""
         lut = kmod.BASE_LOOKUP
-        step = 1 << 20
-        for start in range(0, km.shape[0], step):
-            ascii_rows = lut[kmod.np_unpack_bases(km[start : start + step],
-                                                  self.cfg)]
+        for words in self.wordset.iter_words_chunks(chunk_rows):
+            km = necklace.np_word_to_kmer(words, self.cfg)
+            ascii_rows = lut[kmod.np_unpack_bases(km, self.cfg)]
             for row in ascii_rows:
                 yield row.tobytes()
 

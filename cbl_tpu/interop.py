@@ -46,6 +46,24 @@ def _write_varint(buf: io.BytesIO, v: int) -> None:
         buf.write(b"\xfd" + v.to_bytes(8, "little"))
 
 
+def _varint_bytes_u16(vals: np.ndarray) -> bytes:
+    """Batch varint encoding for values < 2^16 (covers trie byte indices
+    and suffix-length prefixes): one byte below 251, else 0xFB + u16 LE.
+    Same bytes as `_write_varint`, vectorized."""
+    vals = np.asarray(vals, dtype=np.uint32)
+    small = vals < 251
+    lens = np.where(small, 1, 3)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    out = np.zeros(int(off[-1]), dtype=np.uint8)
+    out[off[:-1][small]] = vals[small]
+    big_off = off[:-1][~small]
+    big_vals = vals[~small]
+    out[big_off] = 0xFB
+    out[big_off + 1] = big_vals & 0xFF
+    out[big_off + 2] = big_vals >> 8
+    return out.tobytes()
+
+
 class _Reader:
     def __init__(self, data: bytes):
         self.data = data
@@ -67,6 +85,53 @@ class _Reader:
 
     def eof(self) -> bool:
         return self.pos == len(self.data)
+
+
+# --- vectorized word <-> (prefix, suffix-bytes) converters ---
+
+
+def _split_prefix_suffix(rows: np.ndarray, cfg) -> tuple:
+    """[n, L] big-endian uint32 limb rows -> ([n] uint32 prefixes,
+    [n, nbytes] BIG-endian suffix byte rows).  Pure numpy (the former
+    per-word python-int loop capped export at ~10^6 k-mers)."""
+    n, L = rows.shape
+    s = cfg.suffix_bits
+    nbytes = (s + 7) // 8
+    # prefix = word >> suffix_bits (< 2^32 by config invariant)
+    j, r = divmod(s, 32)
+    lo = rows[:, L - 1 - j]
+    if r:
+        lo = lo >> np.uint32(r)
+        if L - 2 - j >= 0:
+            lo = lo | (rows[:, L - 2 - j] << np.uint32(32 - r))
+    prefix = lo.astype(np.uint32)
+    # suffix = low suffix_bits as big-endian bytes: the tail of the full
+    # 4L-byte big-endian word, top byte masked where prefix bits share it
+    full = np.ascontiguousarray(rows.astype(">u4")).view(np.uint8).reshape(
+        n, 4 * L
+    )
+    sufb = full[:, 4 * L - nbytes :].copy()
+    top_bits = s - 8 * (nbytes - 1)
+    if top_bits < 8:
+        sufb[:, 0] &= np.uint8((1 << top_bits) - 1)
+    return prefix, sufb
+
+
+def _assemble_words(prefix: np.ndarray, sufb: np.ndarray, cfg) -> np.ndarray:
+    """Inverse of `_split_prefix_suffix`: ([n] prefixes, [n, nbytes]
+    big-endian suffix bytes) -> [n, L] big-endian uint32 limb rows."""
+    n, nbytes = sufb.shape
+    L = cfg.word_limbs
+    s = cfg.suffix_bits
+    full = np.zeros((n, 4 * L), dtype=np.uint8)
+    full[:, 4 * L - nbytes :] = sufb
+    limbs_ = full.view(">u4").astype(np.uint32).reshape(n, L)
+    j, r = divmod(s, 32)
+    p64 = prefix.astype(np.uint64) << np.uint64(r)
+    limbs_[:, L - 1 - j] |= (p64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    if L - 2 - j >= 0:
+        limbs_[:, L - 2 - j] |= (p64 >> np.uint64(32)).astype(np.uint32)
+    return limbs_
 
 
 # --- trie bucket decode (variant 1) ---
@@ -106,8 +171,8 @@ def load_reference(path, k: int, prefix_bits: int = 24):
 
     canonical = bool(r.take(1)[0])
     n_buckets = r.varint()
-    prefixes: list[int] = []
-    suffixes: list[int] = []
+    pref_parts: list[np.ndarray] = []
+    sufb_parts: list[np.ndarray] = []
     last_prefix = -1
     for _ in range(n_buckets):
         prefix = r.varint()
@@ -117,16 +182,20 @@ def load_reference(path, k: int, prefix_bits: int = 24):
         variant = r.varint()
         if variant == 0:  # Vec(Vec<SlicedInt>)
             n = r.varint()
-            for _ in range(n):
-                blen = r.varint()
-                if blen != nbytes:
-                    raise ValueError(
-                        f"suffix width {blen}B != expected {nbytes}B — "
-                        f"wrong K/PREFIX_BITS for this file?"
-                    )
-                raw = r.take(blen)  # little-endian value
-                prefixes.append(prefix)
-                suffixes.append(int.from_bytes(raw, "little"))
+            # fixed layout per suffix: 1-byte length varint (nbytes <= 16
+            # < 251) + nbytes little-endian bytes — decode the whole
+            # bucket as one [n, 1+nbytes] byte matrix
+            block = np.frombuffer(
+                r.take(n * (1 + nbytes)), dtype=np.uint8
+            ).reshape(n, 1 + nbytes)
+            if n and not np.all(block[:, 0] == nbytes):
+                blen = int(block[block[:, 0] != nbytes][0, 0])
+                raise ValueError(
+                    f"suffix width {blen}B != expected {nbytes}B — "
+                    f"wrong K/PREFIX_BITS for this file?"
+                )
+            pref_parts.append(np.full(n, prefix, dtype=np.uint32))
+            sufb_parts.append(block[:, 1:][:, ::-1])  # LE -> BE rows
         elif variant == 1:  # Trie(Trie, usize)
             paths: list[tuple] = []
             _read_trie_node(r, 0, nbytes, (), paths)
@@ -137,29 +206,30 @@ def load_reference(path, k: int, prefix_bits: int = 24):
                     f"{stored} != {len(paths)} decoded leaves — corrupted "
                     "or truncated index file"
                 )
-            for p in paths:  # big-endian byte path -> value
-                prefixes.append(prefix)
-                suffixes.append(int.from_bytes(bytes(p), "big"))
+            pref_parts.append(np.full(len(paths), prefix, dtype=np.uint32))
+            sufb_parts.append(np.array(paths, dtype=np.uint8).reshape(
+                len(paths), nbytes
+            ))
         else:
             raise ValueError(f"reference index: unknown bucket variant {variant}")
     if not r.eof():
         raise ValueError("reference index: trailing bytes")
 
     cbl = CBL(k=k, prefix_bits=prefix_bits, canonical=canonical)
-    if prefixes:
-        words = [
-            (p << cfg.suffix_bits) | s for p, s in zip(prefixes, suffixes)
-        ]
-        rows = limbs.from_py_ints(words, cfg.word_limbs)
-        cbl.wordset.insert_words(rows)
-        cbl.wordset.flush()
+    if pref_parts:
+        rows = _assemble_words(
+            np.concatenate(pref_parts), np.concatenate(sufb_parts), cfg
+        )
+        if rows.shape[0]:
+            cbl.wordset.insert_words(rows)
+            cbl.wordset.flush()
     return cbl
 
 
 TRIE_THRESHOLD = 1024  # `/root/reference/src/wordset/mod.rs:34`
 
 
-def _write_trie_node(buf: io.BytesIO, rows: np.ndarray, depth: int,
+def _write_trie_node(buf, rows: np.ndarray, depth: int,
                      nbytes: int) -> None:
     """Serialize one TrieNode { bv: TinyBitvector (seq of set byte values),
     children: Vec<Trie> } (`/root/reference/src/trie.rs:53-57`,
@@ -167,8 +237,7 @@ def _write_trie_node(buf: io.BytesIO, rows: np.ndarray, depth: int,
     byte rows of this subtree, sorted, sharing bytes [0, depth)."""
     vals, starts = np.unique(rows[:, depth], return_index=True)
     _write_varint(buf, len(vals))
-    for v in vals:
-        _write_varint(buf, int(v))
+    buf.write(_varint_bytes_u16(vals))
     if depth == nbytes - 1:
         _write_varint(buf, 0)  # leaves hold the last byte; no children
         return
@@ -179,46 +248,72 @@ def _write_trie_node(buf: io.BytesIO, rows: np.ndarray, depth: int,
                          nbytes)
 
 
-def save_reference(cbl, path) -> None:
+def _encode_bucket(buf, prefix: int, sufb: np.ndarray, nbytes: int) -> None:
+    """One `prefix -> TrieOrVec` map entry.  `sufb` = the bucket's sorted
+    [m, nbytes] big-endian suffix byte rows."""
+    m = sufb.shape[0]
+    _write_varint(buf, prefix)
+    if m > TRIE_THRESHOLD:
+        _write_varint(buf, 1)  # Trie(Trie, usize) variant
+        # suffixes ascend within a bucket, so big-endian byte rows are
+        # already in trie (DFS) order
+        _write_trie_node(buf, sufb, 0, nbytes)
+        _write_varint(buf, m)
+    else:
+        _write_varint(buf, 0)  # Vec variant
+        _write_varint(buf, m)
+        # fixed layout per suffix (1-byte length varint + LE bytes):
+        # emit the whole bucket as one [m, 1+nbytes] byte matrix
+        block = np.empty((m, 1 + nbytes), dtype=np.uint8)
+        block[:, 0] = nbytes
+        block[:, 1:] = sufb[:, ::-1]  # BE rows -> LE bytes
+        buf.write(block.tobytes())
+
+
+def save_reference(cbl, path, chunk_rows: int = 1 << 22) -> None:
     """Write an index file loadable by the reference binary compiled with
     the same K/PREFIX_BITS.  Ascending prefix order; buckets above the
     reference's vec->trie threshold are written in Trie form (variant 1),
     the rest in Vec form (variant 0) — mirroring `TrieOrVec` serde
-    (`/root/reference/src/trievec/mod.rs:8-12`)."""
+    (`/root/reference/src/trievec/mod.rs:8-12`).
+
+    Streams the index in `chunk_rows` device->host chunks (prefix groups
+    straddling a chunk boundary are carried into the next chunk), so peak
+    host memory is bounded by the chunk, not the index; encoding is
+    numpy-vectorized per bucket (the former per-word python-int loop
+    capped exports at ~10^6 k-mers)."""
     cfg = cbl.cfg
     nbytes = (cfg.suffix_bits + 7) // 8
-    words = limbs.to_py_ints(cbl.wordset.words_array())
-    buf = io.BytesIO()
-    buf.write(bytes([1 if cbl.canonical else 0]))
-    # group by prefix (words are sorted, so groups are contiguous+ascending)
-    groups: list[tuple[int, list[int]]] = []
-    mask = (1 << cfg.suffix_bits) - 1
-    for w in words:
-        p = w >> cfg.suffix_bits
-        s = w & mask
-        if groups and groups[-1][0] == p:
-            groups[-1][1].append(s)
-        else:
-            groups.append((p, [s]))
-    _write_varint(buf, len(groups))
-    for p, sufs in groups:
-        _write_varint(buf, p)
-        if len(sufs) > TRIE_THRESHOLD:
-            _write_varint(buf, 1)  # Trie(Trie, usize) variant
-            rows = np.zeros((len(sufs), nbytes), dtype=np.uint8)
-            for i, s in enumerate(sufs):
-                rows[i] = np.frombuffer(
-                    s.to_bytes(nbytes, "big"), dtype=np.uint8
-                )
-            # suffixes ascend within a bucket, so big-endian byte rows are
-            # already in trie (DFS) order
-            _write_trie_node(buf, rows, 0, nbytes)
-            _write_varint(buf, len(sufs))
-        else:
-            _write_varint(buf, 0)  # Vec variant
-            _write_varint(buf, len(sufs))
-            for s in sufs:
-                _write_varint(buf, nbytes)
-                buf.write(s.to_bytes(nbytes, "little"))
     with open(path, "wb") as f:
+        f.write(bytes([1 if cbl.canonical else 0]))
+        # bucket count — distinct prefixes (cheap first pass: device-side
+        # prefixes export is [n] u32)
+        prefixes_sorted = cbl.wordset.prefixes()
+        n_buckets = (
+            int(np.sum(prefixes_sorted[1:] != prefixes_sorted[:-1])) + 1
+            if prefixes_sorted.shape[0] else 0
+        )
+        buf = io.BytesIO()
+        _write_varint(buf, n_buckets)
         f.write(buf.getvalue())
+        carry_p, carry_b = None, None
+        for words in cbl.wordset.iter_words_chunks(chunk_rows):
+            pref, sufb = _split_prefix_suffix(words, cfg)
+            if carry_p is not None:
+                pref = np.concatenate([carry_p, pref])
+                sufb = np.concatenate([carry_b, sufb])
+            # hold back the last group — it may continue in the next chunk
+            vals, starts = np.unique(pref, return_index=True)
+            bounds = list(starts) + [pref.shape[0]]
+            buf = io.BytesIO()
+            for i in range(len(vals) - 1):
+                _encode_bucket(
+                    buf, int(vals[i]), sufb[bounds[i] : bounds[i + 1]], nbytes
+                )
+            f.write(buf.getvalue())
+            carry_p = pref[bounds[-2] :]
+            carry_b = sufb[bounds[-2] :]
+        if carry_p is not None and carry_p.shape[0]:
+            buf = io.BytesIO()
+            _encode_bucket(buf, int(carry_p[0]), carry_b, nbytes)
+            f.write(buf.getvalue())

@@ -347,7 +347,9 @@ def _bulk_insert_step_fn(cfg: CBLConfig, canonical: bool, mesh: Mesh,
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
-    return jax.jit(step, donate_argnums=(0,))
+    # donate only when the state buffer can actually be aliased (growth
+    # steps change the slice shape and would silently copy + warn)
+    return jax.jit(step, donate_argnums=(0,) if C == C_new else ())
 
 
 @lru_cache(maxsize=None)
@@ -767,7 +769,11 @@ def _dyn_round_step_fn(cfg: CBLConfig, mesh: Mesh,
         out_specs=(P(AXIS),) * (ncol + 3),
         check_vma=False,
     )
-    return jax.jit(step, donate_argnums=tuple(range(5, 5 + ncol)))
+    # slog buffers alias only when the round keeps the capacity
+    return jax.jit(
+        step,
+        donate_argnums=tuple(range(5, 5 + ncol)) if S_in == S_out else (),
+    )
 
 
 @lru_cache(maxsize=None)

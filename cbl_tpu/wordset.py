@@ -31,7 +31,7 @@ This mirrors the amortisation role of the reference's 2048-k-mer chunking
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,39 @@ from .ops.sort_pallas import (
 )
 
 MIN_CAP = 4096
+
+
+def _donate_if_aliasable(*static_argnames):
+    """jit a kernel twice — donating arg 0 and not — and dispatch per
+    call: donate only when arg 0's leading dim equals the kernel's
+    `out_cap` (the [out_cap, L] output it would alias).  Capacity-changing
+    calls (growth steps, quantize jumps) silently copied the "donated"
+    buffer and warned; now every remaining donation actually aliases.
+    Convention: `out_cap` is the last positional argument."""
+    def deco(fn):
+        don = partial(jax.jit, static_argnames=static_argnames,
+                      donate_argnums=(0,))(fn)
+        plain = partial(jax.jit, static_argnames=static_argnames)(fn)
+
+        def wrapper(*args, **kw):
+            out_cap = kw.get("out_cap", args[-1])
+            use = don if args[0].shape[0] == out_cap else plain
+            return use(*args, **kw)
+
+        wrapper.__name__ = fn.__name__
+        wrapper.__doc__ = fn.__doc__
+        return wrapper
+
+    return deco
+
+
+@lru_cache(maxsize=None)
+def _chunk_slice_fn(cap: int, chunk: int):
+    """jitted ([cap, L] data, start) -> [chunk, L] block (start traced, so
+    one program serves every chunk of an export)."""
+    return jax.jit(
+        lambda d, i: jax.lax.dynamic_slice_in_dim(d, i, chunk, axis=0)
+    )
 DEFAULT_PENDING_CAP = 1 << 21
 _U32_MAX = np.uint32(0xFFFFFFFF)
 
@@ -98,7 +131,7 @@ def _compact(rows, keep, out_cap: int):
 
 
 
-@partial(jax.jit, static_argnames=("op", "out_cap"), donate_argnums=(0,))
+@_donate_if_aliasable("op", "out_cap")
 def _setop_sort_kernel(a, b, op: str, out_cap: int):
     """All binary set operations as ONE tagged bitonic sort + adjacency logic
     + compaction-by-sorting.  No gathers/scatters at all (measured on TPU
@@ -154,7 +187,7 @@ def _setop_sort_kernel(a, b, op: str, out_cap: int):
     return out, jnp.sum(keep.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("op", "out_cap"), donate_argnums=(0,))
+@_donate_if_aliasable("op", "out_cap")
 def _setop_sort_kernel_packed(a, b, op: str, out_cap: int):
     """`_setop_sort_kernel` with the operand tag PACKED into the key's low
     bit (rows shifted left one bit; a-rows get tag 1, so b-rows still sort
@@ -335,7 +368,7 @@ def _build_sorted_kernel(batch):
     return s, _distinct_count(s)
 
 
-@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+@_donate_if_aliasable("out_cap")
 def _dedup_sorted_kernel(data, out_cap: int):
     """Dedup an already-sorted (valid-first, duplicates allowed) array:
     mark adjacent duplicates as the sentinel, one re-sort, truncate/pad.
@@ -357,7 +390,7 @@ def _dedup_sorted_kernel(data, out_cap: int):
     return out, jnp.sum(keep.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+@_donate_if_aliasable("out_cap")
 def _compact_sort_kernel(data, out_cap: int):
     """Re-sort a 'sorted with holes' array so sentinels fall to the end,
     then truncate/pad to out_cap.  Input rows are already unique."""
@@ -373,7 +406,7 @@ def _compact_sort_kernel(data, out_cap: int):
     return out, n
 
 
-@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+@_donate_if_aliasable("out_cap")
 def _merge_sortcompact_kernel(data, batch, out_cap: int):
     """Sorted-set union via two bitonic sorts and NO scatters/gathers.
 
@@ -677,7 +710,7 @@ def _append_tags_kernel(tags, offset, n: int, tag: int):
     )
 
 
-@partial(jax.jit, static_argnames=("out_cap",), donate_argnums=(0,))
+@_donate_if_aliasable("out_cap")
 def _fold_log_kernel(data, pending, tags, out_cap: int):
     """Fold a mixed insert/remove pending LOG into the sorted array with
     last-write-wins semantics (the TPU analog of the reference's per-op
@@ -1646,6 +1679,37 @@ class DeviceWordSet:
         # transfer the whole (pow2) array and slice on host: a device-side
         # [:n] slice compiles a fresh one-off-shape program per distinct n
         return np.asarray(self.data)[: self.n]
+
+    def iter_words_chunks(self, chunk_rows: int = 1 << 22):
+        """Yield [<=chunk_rows, L] host arrays in ascending word order
+        WITHOUT materialising the whole index on host — the bounded-memory
+        analog of the reference's lazy iteration
+        (`/root/reference/src/wordset/mod.rs:298-362`).  At K=59 scale a
+        full `words_array` doubles peak host memory and stalls ~80s on
+        the ~15MB/s device->host tunnel; chunked transfers bound both.
+        Chunks use a fixed-size dynamic slice (one compiled program per
+        (capacity, chunk) pair, start index traced)."""
+        self.flush()
+        self._compact()
+        self._dedup()
+        n = self.n
+        if n == 0:
+            return
+        cap = self.data.shape[0]
+        if cap <= chunk_rows or n <= chunk_rows:
+            yield np.asarray(self.data)[:n]
+            return
+        slicer = _chunk_slice_fn(cap, chunk_rows)
+        emitted = 0
+        while emitted < n:
+            # clamp so the slice stays in-bounds; re-emit the overlap-free
+            # tail of the final (clamped) block
+            start = min(emitted, cap - chunk_rows)
+            block = np.asarray(slicer(self.data, np.int32(start)))
+            lo = emitted - start
+            take = min(chunk_rows - lo, n - emitted)
+            yield block[lo : lo + take]
+            emitted += take
 
     def prefixes(self) -> np.ndarray:
         """Sorted [n] uint32 prefix of each stored word."""

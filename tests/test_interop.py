@@ -365,3 +365,31 @@ def test_trie_element_count_validated(tmp_path):
     p2.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="stored element count"):
         interop.load_reference(p2, k=59, prefix_bits=28)
+
+
+def test_large_export_import_vectorized(tmp_path):
+    """export-ref/import-ref a 10^6-word K=59/PREFIX_BITS=28 index inside
+    the test budget: the codec is numpy-vectorized (the former per-word
+    python-int loop capped exports at ~10^6 k-mers; round-4 verdict item
+    7).  Exact word-level round-trip equality."""
+    import time
+
+    from cbl_tpu.cbl import CBL
+
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 2**32, size=(1_000_000, 4), dtype=np.uint32)
+    rows[:, 0] &= (1 << 29) - 1  # clamp to the 29 significant top-limb bits
+    idx = CBL(k=59, prefix_bits=28)
+    idx.wordset.insert_words(rows)
+    idx.wordset.flush()
+    n = idx.count()
+    p = tmp_path / "big.cbl"
+    t0 = time.time()
+    interop.save_reference(idx, p)
+    back = interop.load_reference(p, k=59, prefix_bits=28)
+    elapsed = time.time() - t0
+    assert back.count() == n
+    np.testing.assert_array_equal(
+        back.wordset.words_array(), idx.wordset.words_array()
+    )
+    assert elapsed < 60, f"round-trip took {elapsed:.1f}s"
