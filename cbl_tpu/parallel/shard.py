@@ -379,6 +379,19 @@ def _dedup_fn(cfg: CBLConfig, mesh: Mesh, C: int):
 
 
 @lru_cache(maxsize=None)
+def _shard_chunk_fn(mesh: Mesh, cap: int, chunk: int, L: int):
+    """jitted ([D, cap, L] data, shard, start) -> [chunk, L] replicated
+    block — the chunked-export slice (shard and start traced, one program
+    per (cap, chunk))."""
+    return jax.jit(
+        lambda d, s, i: jax.lax.dynamic_slice(
+            d, (s, i, jnp.int32(0)), (1, chunk, L)
+        )[0],
+        out_shardings=NamedSharding(mesh, P()),
+    )
+
+
+@lru_cache(maxsize=None)
 def _repartition_fn(cfg: CBLConfig, mesh: Mesh, C: int, bucket_cap: int):
     """Re-route every stored word to its NEW owner shard in ONE program:
     each shard partitions its (sorted, distinct) slice by the new
@@ -1987,3 +2000,33 @@ class ShardedCBL:
             if rows
             else np.zeros((0, self.L), dtype=np.uint32)
         )
+
+    def iter_words_chunks(self, chunk_rows: int = 1 << 22):
+        """Yield [<=chunk_rows, L] host arrays in GLOBAL sorted order
+        (shard-major == sorted) without materialising the whole sharded
+        index on host — the multi-device analog of
+        `DeviceWordSet.iter_words_chunks`.  Single-process meshes (reads
+        every shard's rows)."""
+        self._ensure_clean()
+        counts = self.shard_counts
+        cap = self.C
+        chunk = min(chunk_rows, cap)
+        slicer = _shard_chunk_fn(self.mesh, cap, chunk, self.L)
+        for d in range(self.D):
+            nd = int(counts[d])
+            if nd == 0:
+                continue
+            if cap <= chunk_rows:
+                yield np.asarray(slicer(self.data, np.int32(d),
+                                        np.int32(0)))[:nd]
+                continue
+            got = 0
+            while got < nd:
+                start = min(got, cap - chunk)
+                block = np.asarray(
+                    slicer(self.data, np.int32(d), np.int32(start))
+                )
+                lo = got - start
+                take = min(chunk - lo, nd - got)
+                yield block[lo : lo + take]
+                got += take

@@ -684,3 +684,17 @@ def test_sharded_dynamic_largek_unpacked(mesh):
     np.testing.assert_array_equal(
         x.words_array(), single.wordset.words_array()
     )
+
+
+def test_sharded_iter_words_chunks(mesh):
+    """Sharded chunked export equals words_array in global order, in
+    bounded pieces (multi-device analog of the chunked list path)."""
+    idx = ShardedCBL(k=25, mesh=mesh)
+    rng = np.random.default_rng(12)
+    codes = rng.integers(0, 4, size=40_000, dtype=np.uint8)
+    idx.insert_codes_stream(codes, np.array([0, len(codes)], dtype=np.int64))
+    full = idx.words_array()
+    parts = list(idx.iter_words_chunks(chunk_rows=1024))
+    assert all(p.shape[0] <= 1024 for p in parts)
+    assert len(parts) > idx.D  # actually chunked within shards
+    np.testing.assert_array_equal(np.concatenate(parts), full)
