@@ -171,9 +171,18 @@ def load_reference(path, k: int, prefix_bits: int = 24):
 
     canonical = bool(r.take(1)[0])
     n_buckets = r.varint()
+    buf = np.frombuffer(r.data, dtype=np.uint8)
+    # Vec buckets accumulate as (prefix, count, block byte offset) ints —
+    # the suffix bytes of ALL such buckets are gathered in ONE vectorized
+    # pass at the end (per-bucket numpy allocations dominated load time
+    # at 10^6 buckets)
+    vec_prefix: list[int] = []
+    vec_n: list[int] = []
+    vec_start: list[int] = []
     pref_parts: list[np.ndarray] = []
     sufb_parts: list[np.ndarray] = []
     last_prefix = -1
+    rec = 1 + nbytes  # per-suffix record: 1-byte length varint + LE bytes
     for _ in range(n_buckets):
         prefix = r.varint()
         if prefix <= last_prefix:
@@ -182,20 +191,10 @@ def load_reference(path, k: int, prefix_bits: int = 24):
         variant = r.varint()
         if variant == 0:  # Vec(Vec<SlicedInt>)
             n = r.varint()
-            # fixed layout per suffix: 1-byte length varint (nbytes <= 16
-            # < 251) + nbytes little-endian bytes — decode the whole
-            # bucket as one [n, 1+nbytes] byte matrix
-            block = np.frombuffer(
-                r.take(n * (1 + nbytes)), dtype=np.uint8
-            ).reshape(n, 1 + nbytes)
-            if n and not np.all(block[:, 0] == nbytes):
-                blen = int(block[block[:, 0] != nbytes][0, 0])
-                raise ValueError(
-                    f"suffix width {blen}B != expected {nbytes}B — "
-                    f"wrong K/PREFIX_BITS for this file?"
-                )
-            pref_parts.append(np.full(n, prefix, dtype=np.uint32))
-            sufb_parts.append(block[:, 1:][:, ::-1])  # LE -> BE rows
+            vec_prefix.append(prefix)
+            vec_n.append(n)
+            vec_start.append(r.pos)
+            r.take(n * rec)  # bounds-checked skip
         elif variant == 1:  # Trie(Trie, usize)
             paths: list[tuple] = []
             _read_trie_node(r, 0, nbytes, (), paths)
@@ -214,6 +213,29 @@ def load_reference(path, k: int, prefix_bits: int = 24):
             raise ValueError(f"reference index: unknown bucket variant {variant}")
     if not r.eof():
         raise ValueError("reference index: trailing bytes")
+
+    if vec_n:
+        n_arr = np.asarray(vec_n, dtype=np.int64)
+        s_arr = np.asarray(vec_start, dtype=np.int64)
+        total = int(n_arr.sum())
+        if total:
+            # segmented arange: suffix j of bucket i starts at
+            # s_i + j*rec; one fancy gather decodes every Vec bucket
+            seg = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(n_arr)[:-1]]), n_arr
+            )
+            starts = np.repeat(s_arr, n_arr) + seg * rec
+            block = buf[starts[:, None] + np.arange(rec, dtype=np.int64)]
+            if not np.all(block[:, 0] == nbytes):
+                blen = int(block[block[:, 0] != nbytes][0, 0])
+                raise ValueError(
+                    f"suffix width {blen}B != expected {nbytes}B — "
+                    f"wrong K/PREFIX_BITS for this file?"
+                )
+            pref_parts.append(np.repeat(
+                np.asarray(vec_prefix, dtype=np.uint32), n_arr
+            ))
+            sufb_parts.append(block[:, 1:][:, ::-1])  # LE -> BE rows
 
     cbl = CBL(k=k, prefix_bits=prefix_bits, canonical=canonical)
     if pref_parts:
@@ -246,6 +268,60 @@ def _write_trie_node(buf, rows: np.ndarray, depth: int,
     for i in range(len(vals)):
         _write_trie_node(buf, rows[bounds[i] : bounds[i + 1]], depth + 1,
                          nbytes)
+
+
+def _varint_sizes_u32(vals: np.ndarray) -> np.ndarray:
+    """Encoded byte length of varint(v) for v < 2^32."""
+    return np.where(vals < 251, 1, np.where(vals <= 0xFFFF, 3, 5))
+
+
+def _scatter_varints(out: np.ndarray, off: np.ndarray,
+                     vals: np.ndarray) -> None:
+    """Write varint(vals[i]) into out starting at off[i] (vals < 2^32);
+    byte-identical to `_write_varint`."""
+    vals = vals.astype(np.int64)
+    small = vals < 251
+    mid = ~small & (vals <= 0xFFFF)
+    big = vals > 0xFFFF
+    out[off[small]] = vals[small]
+    mo, mv = off[mid], vals[mid]
+    out[mo] = 0xFB
+    out[mo + 1] = mv & 0xFF
+    out[mo + 2] = (mv >> 8) & 0xFF
+    bo, bv = off[big], vals[big]
+    out[bo] = 0xFC
+    for j in range(4):
+        out[bo + 1 + j] = (bv >> (8 * j)) & 0xFF
+
+
+def _encode_vec_run(prefixes: np.ndarray, counts: np.ndarray,
+                    sufb: np.ndarray, nbytes: int) -> np.ndarray:
+    """Encode a run of consecutive Vec buckets in one vectorized pass:
+    per bucket [varint prefix][variant 0][varint count][count fixed-size
+    suffix records].  `sufb` = the runs' concatenated big-endian suffix
+    byte rows.  Byte-identical to `_encode_bucket`'s Vec branch."""
+    rec = 1 + nbytes
+    counts = counts.astype(np.int64)
+    hp = _varint_sizes_u32(prefixes).astype(np.int64)
+    hn = _varint_sizes_u32(counts)
+    sizes = hp + 1 + hn + counts * rec
+    off = np.concatenate([[0], np.cumsum(sizes)])
+    out = np.zeros(int(off[-1]), dtype=np.uint8)
+    o = off[:-1]
+    _scatter_varints(out, o, prefixes)
+    # the variant byte at o + hp stays 0 (Vec)
+    _scatter_varints(out, o + hp + 1, counts)
+    total = int(counts.sum())
+    if total:
+        seg = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        sstart = np.repeat(o + hp + 1 + hn, counts) + seg * rec
+        out[sstart] = nbytes
+        out[sstart[:, None] + 1 + np.arange(nbytes, dtype=np.int64)] = (
+            sufb[:, ::-1]  # BE rows -> LE bytes
+        )
+    return out
 
 
 def _encode_bucket(buf, prefix: int, sufb: np.ndarray, nbytes: int) -> None:
@@ -304,15 +380,34 @@ def save_reference(cbl, path, chunk_rows: int = 1 << 22) -> None:
                 sufb = np.concatenate([carry_b, sufb])
             # hold back the last group — it may continue in the next chunk
             vals, starts = np.unique(pref, return_index=True)
-            bounds = list(starts) + [pref.shape[0]]
-            buf = io.BytesIO()
-            for i in range(len(vals) - 1):
-                _encode_bucket(
-                    buf, int(vals[i]), sufb[bounds[i] : bounds[i + 1]], nbytes
-                )
-            f.write(buf.getvalue())
-            carry_p = pref[bounds[-2] :]
-            carry_b = sufb[bounds[-2] :]
+            bounds = np.concatenate([starts, [pref.shape[0]]]).astype(
+                np.int64
+            )
+            emit = len(vals) - 1
+            sizes = np.diff(bounds)[:emit]
+            is_trie = sizes > TRIE_THRESHOLD
+            i = 0
+            while i < emit:
+                if not is_trie[i]:
+                    # maximal run of Vec buckets: one vectorized encode
+                    j = i
+                    while j < emit and not is_trie[j]:
+                        j += 1
+                    f.write(_encode_vec_run(
+                        vals[i:j].astype(np.int64), sizes[i:j],
+                        sufb[bounds[i] : bounds[j]], nbytes,
+                    ).tobytes())
+                    i = j
+                else:
+                    buf = io.BytesIO()
+                    _encode_bucket(
+                        buf, int(vals[i]), sufb[bounds[i] : bounds[i + 1]],
+                        nbytes,
+                    )
+                    f.write(buf.getvalue())
+                    i += 1
+            carry_p = pref[bounds[emit] :]
+            carry_b = sufb[bounds[emit] :]
         if carry_p is not None and carry_p.shape[0]:
             buf = io.BytesIO()
             _encode_bucket(buf, int(carry_p[0]), carry_b, nbytes)

@@ -1189,7 +1189,13 @@ class ShardedCBL:
         otherwise the separate bulk calls.  Args are ShardedStreams (see
         `pack_stream`) or (codes, offsets) tuples; returns
         (total, positive)."""
-        self._check_dropped()
+        # stay async at D>1: don't SYNC a pending drop counter here (that
+        # would serialize every round on a ~28ms scalar RPC) — it keeps
+        # accumulating on device and the next blocking consumer
+        # (count/query/fold/words) runs the real check.  Only the sticky
+        # corrupt flag is checked, which is free.
+        if self._corrupt:
+            self._check_dropped()
         fallback = None
         if not isinstance(ins, ShardedStream) and len(
             list(self._sub_slab_groups(*ins))
