@@ -698,3 +698,43 @@ def test_sharded_iter_words_chunks(mesh):
     assert all(p.shape[0] <= 1024 for p in parts)
     assert len(parts) > idx.D  # actually chunked within shards
     np.testing.assert_array_equal(np.concatenate(parts), full)
+
+
+def test_sharded_repartition_fuzz_vs_oracle(mesh):
+    """Interleave bulk inserts, removes, skewed word-level growth, and
+    repartition() calls: after every re-balance the index must equal the
+    single-device build exactly (zero lost/duplicated words, unchanged
+    global order), and boundaries keep adapting to the moving contents."""
+    rng = np.random.default_rng(77)
+    idx = ShardedCBL(k=25, mesh=mesh)
+    single = CBL(k=25)
+    pool = rng.integers(0, 4, size=60_000, dtype=np.uint8)
+    for r in range(6):
+        n = int(rng.integers(5_000, 15_000))
+        s0 = int(rng.integers(0, len(pool) - n))
+        off = np.array([0, n], dtype=np.int64)
+        idx.insert_codes_stream(pool[s0 : s0 + n], off)
+        single.insert_codes_stream(pool[s0 : s0 + n], off)
+        if r % 2 == 1:
+            m = int(rng.integers(2_000, 6_000))
+            s1 = int(rng.integers(0, len(pool) - m))
+            offm = np.array([0, m], dtype=np.int64)
+            idx.remove_codes_stream(pool[s1 : s1 + m], offm)
+            single.remove_codes_stream(pool[s1 : s1 + m], offm)
+        if r % 3 == 2:
+            # tiny-valued words skew the load onto shard 0 before the
+            # re-balance
+            skew = np.zeros((4_000, idx.L), dtype=np.uint32)
+            skew[:, idx.L - 1] = rng.integers(
+                0, 50_000, size=4_000
+            ).astype(np.uint32)
+            idx.insert_words(skew)
+            single.wordset.insert_words(skew)
+        idx.repartition()
+        assert idx.count() == single.count(), r
+        np.testing.assert_array_equal(
+            idx.words_array(), single.wordset.words_array(), err_msg=str(r)
+        )
+        bal = idx.shard_balance()
+        tot = int(bal.sum())
+        assert bal.max() <= 2 * max(1, -(-tot // idx.D)), (r, bal)
