@@ -28,7 +28,6 @@ import io
 
 import numpy as np
 
-from . import limbs
 from .config import get_config
 
 

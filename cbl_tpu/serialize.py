@@ -21,8 +21,20 @@ VERSION = 1
 
 def save(cbl, path) -> None:
     # uncompressed: packed necklace words are near-incompressible and zlib
-    # costs seconds per 100MB; the array IS the canonical index form
-    words = cbl.wordset.words_array()
+    # costs seconds per 100MB; the array IS the canonical index form.
+    # Assemble the host array from bounded device->host chunks (avoids the
+    # extra full-capacity transfer buffer a one-shot export would hold).
+    ws = cbl.wordset
+    ws.flush()
+    words = None
+    at = 0
+    for block in ws.iter_words_chunks():
+        if words is None:
+            words = np.empty((ws.n, block.shape[1]), dtype=np.uint32)
+        words[at : at + block.shape[0]] = block
+        at += block.shape[0]
+    if words is None:
+        words = np.zeros((0, cbl.cfg.word_limbs), dtype=np.uint32)
     np.savez(
         path if str(path).endswith(".npz") else str(path),
         magic=np.array(MAGIC),
