@@ -155,6 +155,7 @@ def _agree_boundaries_from_stream(idx, codes: np.ndarray,
 
     from .shard import build_slab_groups
 
+    icap = max(icap, 1 << max(4, int(len(offsets) + 2).bit_length()))
     g = next(iter(build_slab_groups(
         idx._front(), codes, offsets, nk_sub, 1, icap=icap, n_groups=1
     )))
@@ -184,17 +185,18 @@ def multihost_pack_stream(idx, codes: np.ndarray, offsets: np.ndarray,
     d_local = idx.D // n_proc
     front = idx._front()
     k = idx.cfg.k
-    # slab count is per-record (halo'd chunking restarts at record
-    # boundaries): grow nk_sub until the local slice fits one group
-    def n_slabs(sub):
-        return sum(
-            -(-max(int(offsets[i + 1] - offsets[i]) - k + 1, 0) // sub)
-            for i in range(len(offsets) - 1)
-        )
-
-    while n_slabs(nk_sub) > d_local:
+    # slabs cover the WHOLE code stream contiguously (records are handled
+    # by blank intervals, `CBL._fused_slabs`), so the slab count is
+    # ceil(nk / nk_sub): grow nk_sub until the local slice fits one group
+    nk = max(len(codes) - k + 1, 0)
+    while -(-max(nk, 1) // nk_sub) > d_local:
         nk_sub *= 2
-    nk_sub = int(np.max(mh.process_allgather(np.array([nk_sub]))))
+    # a slab's blank-interval count grows with the records it covers;
+    # coordinate a cap that fits every process's record density
+    icap = max(icap, 1 << max(4, int(len(offsets) + 2).bit_length()))
+    agreed = mh.process_allgather(np.array([nk_sub, icap]))
+    nk_sub = int(np.max(agreed[..., 0]))
+    icap = int(np.max(agreed[..., 1]))
     (nk_sub_, stream, starts, ends), = build_slab_groups(
         front, codes, offsets, nk_sub, d_local, icap=icap, n_groups=1
     )
