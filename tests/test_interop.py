@@ -393,3 +393,44 @@ def test_large_export_import_vectorized(tmp_path):
         back.wordset.words_array(), idx.wordset.words_array()
     )
     assert elapsed < 60, f"round-trip took {elapsed:.1f}s"
+
+
+def test_reference_roundtrip_config_sweep(tmp_path):
+    """Round-trip constructed word sets through the .cbl codec across the
+    config family — 1 to 4 limbs, byte-aligned and ragged suffix widths —
+    with one dense prefix (a >1024-suffix Trie bucket) plus scattered Vec
+    buckets per config.  Exercises the vectorized split/assemble and the
+    run encoder's trie/vec interleaving."""
+    from cbl_tpu.cbl import CBL
+    from cbl_tpu.config import get_config
+    from cbl_tpu.interop import _assemble_words
+
+    rng = np.random.default_rng(5)
+    for k, pb in [(7, 13), (13, 25), (25, 24), (25, 32), (31, 17),
+                  (59, 28)]:
+        cfg = get_config(k=k, prefix_bits=pb)
+        nbytes = (cfg.suffix_bits + 7) // 8
+        n_trie, n_vec = 1500, 700
+        pmax = min(1 << cfg.prefix_bits, 1 << 31)
+        pref = np.concatenate([
+            np.full(n_trie, min(3, pmax - 1), dtype=np.uint32),
+            rng.integers(0, pmax, size=n_vec).astype(np.uint32),
+        ])
+        sufb = rng.integers(
+            0, 256, size=(n_trie + n_vec, nbytes)
+        ).astype(np.uint8)
+        top_bits = cfg.suffix_bits - 8 * (nbytes - 1)
+        if top_bits < 8:
+            sufb[:, 0] &= (1 << top_bits) - 1
+        rows = _assemble_words(pref, sufb, cfg)
+        idx = CBL(k=k, prefix_bits=pb)
+        idx.wordset.insert_words(rows)
+        idx.wordset.flush()
+        p = tmp_path / f"sweep_{k}_{pb}.cbl"
+        interop.save_reference(idx, p)
+        back = interop.load_reference(p, k=k, prefix_bits=pb)
+        assert back.count() == idx.count(), (k, pb)
+        np.testing.assert_array_equal(
+            back.wordset.words_array(), idx.wordset.words_array(),
+            err_msg=f"k={k} pb={pb}",
+        )
