@@ -28,7 +28,9 @@ def save(cbl, path) -> None:
     ws.flush()
     words = None
     at = 0
-    for block in ws.iter_words_chunks():
+    # 2^23 rows/chunk: still memory-bounded, half the link round-trips of
+    # the default export chunk (the tunnel pays per-transfer latency)
+    for block in ws.iter_words_chunks(1 << 23):
         if words is None:
             words = np.empty((ws.n, block.shape[1]), dtype=np.uint32)
         words[at : at + block.shape[0]] = block
