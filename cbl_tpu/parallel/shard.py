@@ -1656,6 +1656,11 @@ class ShardedCBL:
                     bucket_scale=1 << attempt,
                 )
             if self.D == 1 or self._drops_pending() == 0:
+                if attempt > 0:
+                    # the mid-recovery repartition saw only the partial
+                    # (biased) survivors; re-balance on the full contents
+                    # so the index comes out of recovery healthy
+                    self.repartition()
                 return
             self.repartition()
         self._corrupt = True  # unreachable: the last attempt cannot drop

@@ -469,6 +469,11 @@ def test_sharded_insert_overflow_recovers(mesh):
     # and the recovered index keeps working (no sticky corruption)
     t, p = idx.query_codes_stream(codes[:1000], np.array([0, 1000]))
     assert t == 1000 - 24 and p == t
+    # recovery ends with a re-balance on the FULL contents (the
+    # mid-recovery repartition only saw the biased partial survivors)
+    bal = idx.shard_balance()
+    tot = int(bal.sum())
+    assert bal.max() <= 2 * max(1, (tot + idx.D - 1) // idx.D), bal
 
 
 def test_sharded_repartition_rebalances_skewed_growth(mesh):
